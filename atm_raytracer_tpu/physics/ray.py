@@ -1,0 +1,209 @@
+"""Batched fixed-step ray marching of the atmospheric-refraction ODE.
+
+Re-implements the propagation half of the ``atm-refraction`` crate:
+``Environment::cast_ray_stepper(alt, elev_rad, straight)`` with
+``set_step_size(step)`` yielding ``RayState{x, h, dh}`` (reference call sites
+src/generator/generators/utils.rs:142-171, src/ray_path.rs:71-95), for
+``EarthShape::{Flat, Spherical{radius}}``.
+
+Instead of a per-ray iterator, all rays march in lockstep: a ``lax.scan`` over
+N fixed steps carrying state vectors of shape [B] (one lane per ray). The
+x-coordinate advances by exactly ``step`` per iteration, so it never needs to
+be materialized — ``x_k = k * step``.
+
+Coordinates and ODE (derived from Fermat's principle for a stratified
+atmosphere; see tests/test_ray.py for the analytic oracles):
+
+* Flat shape: x = horizontal distance, h = altitude.
+      h'' = l(h) (1 + h'^2),          l(h) = d(ln n)/dh
+  straight rays: h'' = 0 (exact straight line).
+* Spherical shape of radius R: x = arc length along the r=R surface
+  (this matches the reference's path-length correction ``calc_dist``
+  src/generator/generators/utils.rs:42-53, which scales dx by (h+R)/R),
+  h = altitude above the surface. With u = 1 + h/R:
+      h'' = l(h) (u^2 + h'^2) + (u^2 + 2 h'^2) / (u R)
+  straight rays drop the l(h) term (a straight chord expressed in curved
+  coordinates — validated against the closed-form line-vs-circle geometry).
+
+Initial conditions for elevation angle e (radians, from the local horizontal):
+  flat:      h' = tan(e)
+  spherical: h' = (1 + h0/R) tan(e)   (dh per unit *surface* arc)
+
+Integrator: classic RK4 with fixed step dx = simulation_step, matching the
+reference's accuracy knob (README.md:219-222). l(h) comes from a uniform-grid
+lookup table (f32) built on host from the f64 atmosphere — small enough for
+VMEM (~10k entries for a 10 km altitude span at 1 m spacing).
+
+Path length: accumulated exactly like the reference's ``calc_dist``
+(utils.rs:42-53): flat sqrt(dx²+dh²); spherical scales dx by (h_avg+R)/R.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .atmosphere import Atmosphere
+
+
+@dataclasses.dataclass(frozen=True)
+class EarthShape:
+    """Physics shape: flat or sphere (``EarthShape`` in the reference crate,
+    produced by ``EarthModel::to_shape`` src/utils/earth_model/mod.rs:95-112)."""
+
+    radius: Optional[float]  # None = Flat
+
+    @property
+    def is_flat(self) -> bool:
+        return self.radius is None
+
+
+FLAT = EarthShape(None)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RefractionTable:
+    """Uniform-grid table of l(h) = d(ln n)/dh, device-resident (f32).
+
+    ``h0 + i*dh`` for i in [0, n). Queries clamp to the table range (the
+    atmosphere model extends smoothly; rays below h0 or above the top use the
+    boundary value — choose the range generously via ``build``).
+    """
+
+    h0: jnp.ndarray  # scalar f32
+    inv_dh: jnp.ndarray  # scalar f32
+    values: jnp.ndarray  # [n] f32
+
+    def tree_flatten(self):
+        return (self.h0, self.inv_dh, self.values), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def build(
+        atm: Atmosphere,
+        wavelength: float,
+        h_lo: float = -2000.0,
+        h_hi: float = 20000.0,
+        dh: float = 1.0,
+    ) -> "RefractionTable":
+        hs = np.arange(h_lo, h_hi + dh, dh, dtype=np.float64)
+        vals = atm.dlnn_dh(hs, wavelength).astype(np.float32)
+        return RefractionTable(
+            h0=jnp.float32(h_lo),
+            inv_dh=jnp.float32(1.0 / dh),
+            values=jnp.asarray(vals),
+        )
+
+    def lookup(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Linear interpolation of l(h); clamps outside the grid."""
+        t = (h - self.h0) * self.inv_dh
+        n = self.values.shape[0]
+        t = jnp.clip(t, 0.0, n - 1.000001)
+        i = jnp.floor(t).astype(jnp.int32)
+        f = t - i.astype(t.dtype)
+        lo = jnp.take(self.values, i)
+        hi = jnp.take(self.values, i + 1)
+        return lo * (1.0 - f) + hi * f
+
+
+def _acceleration(
+    h: jnp.ndarray,
+    v: jnp.ndarray,
+    table: Optional[RefractionTable],
+    radius: Optional[float],
+    straight: bool,
+) -> jnp.ndarray:
+    """h'' per the module-docstring ODE. table=None or straight ⇒ no bending."""
+    if radius is None:
+        if straight or table is None:
+            return jnp.zeros_like(h)
+        return table.lookup(h) * (1.0 + v * v)
+    inv_r = 1.0 / radius
+    u = 1.0 + h * inv_r
+    geom = (u * u + 2.0 * v * v) / u * inv_r
+    if straight or table is None:
+        return geom
+    return table.lookup(h) * (u * u + v * v) + geom
+
+
+def initial_slope(
+    alt: jnp.ndarray, elev_rad: jnp.ndarray, shape: EarthShape
+) -> jnp.ndarray:
+    """dh/dx at x=0 for a ray launched at ``elev_rad`` above local horizontal."""
+    t = jnp.tan(elev_rad)
+    if shape.is_flat:
+        return t
+    return (1.0 + alt / shape.radius) * t
+
+
+def march_rays(
+    alt: jnp.ndarray,
+    elev_rad: jnp.ndarray,
+    step: float,
+    n_steps: int,
+    shape: EarthShape,
+    table: Optional[RefractionTable],
+    straight: bool,
+    with_path_length: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """March a batch of rays N fixed steps; returns (h, path_length).
+
+    Args:
+      alt: scalar or [B] starting altitude(s), meters.
+      elev_rad: [B] launch elevation angles (radians above local horizontal).
+      step: x-advance per iteration, meters (``simulation_step``).
+      n_steps: number of steps N; outputs have N+1 samples (k=0 included).
+      shape: flat or spherical Earth.
+      table: refraction table (ignored when ``straight``).
+      straight: bypass refraction (``--straight``, README.md:216-218).
+
+    Returns:
+      h:        [B, N+1] ray altitude at x = k*step.
+      path_len: [B, N+1] cumulative path length (reference utils.rs:42-53
+                semantics), or zeros if with_path_length=False.
+
+    Mirrors gen_path_cache (src/generator/generators/utils.rs:136-174) minus
+    the early-exit (dense lockstep marching; callers mask instead).
+    """
+    elev_rad = jnp.asarray(elev_rad, jnp.float32)
+    alt = jnp.broadcast_to(jnp.asarray(alt, jnp.float32), elev_rad.shape)
+    v0 = initial_slope(alt, elev_rad, shape)
+    dx = jnp.float32(step)
+    radius = shape.radius
+
+    def deriv(h, v):
+        return v, _acceleration(h, v, table, radius, straight)
+
+    def body(carry, _):
+        h, v, plen = carry
+        k1h, k1v = deriv(h, v)
+        k2h, k2v = deriv(h + 0.5 * dx * k1h, v + 0.5 * dx * k1v)
+        k3h, k3v = deriv(h + 0.5 * dx * k2h, v + 0.5 * dx * k2v)
+        k4h, k4v = deriv(h + dx * k3h, v + dx * k3v)
+        h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
+        v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+        if with_path_length:
+            dh = h_new - h
+            if radius is None:
+                seg = jnp.sqrt(dx * dx + dh * dh)
+            else:
+                dx_eff = dx * ((h_new + h) * 0.5 + radius) / radius
+                seg = jnp.sqrt(dx_eff * dx_eff + dh * dh)
+            plen = plen + seg
+        return (h_new, v_new, plen), (h_new, plen)
+
+    plen0 = jnp.zeros_like(alt)
+    (_, _, _), (hs, plens) = jax.lax.scan(
+        body, (alt, v0, plen0), None, length=n_steps
+    )
+    h_out = jnp.concatenate([alt[None], hs], axis=0)  # [N+1, B]
+    p_out = jnp.concatenate([plen0[None], plens], axis=0)
+    return jnp.moveaxis(h_out, 0, 1), jnp.moveaxis(p_out, 0, 1)

@@ -1,0 +1,14 @@
+"""Test harness: force an 8-virtual-device CPU platform before JAX import.
+
+Multi-chip hardware is unavailable in CI; sharding tests run on a virtual
+8-device CPU mesh exactly like the driver's dryrun_multichip check.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

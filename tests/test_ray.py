@@ -1,0 +1,138 @@
+"""Ray-marcher oracles: straight-line geometry, horizon dip, refraction."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from atm_raytracer_tpu.physics.atmosphere import Atmosphere, us_76
+from atm_raytracer_tpu.physics.ray import (
+    EarthShape,
+    FLAT,
+    RefractionTable,
+    initial_slope,
+    march_rays,
+)
+
+R = 6371000.0
+SPHERE = EarthShape(R)
+
+
+@pytest.fixture(scope="module")
+def table():
+    return RefractionTable.build(Atmosphere(us_76()), 530e-9)
+
+
+def straight_sphere_exact(h0, elev, x):
+    """Closed-form altitude of a straight chord above a sphere.
+
+    Observer at radius r0=R+h0, launch elevation `elev` above local
+    horizontal. At surface-arc distance x (angle phi = x/R), the line point
+    subtending phi has altitude r(phi) - R with
+      r = r0 * cos(elev) / cos(elev + phi)   -- from the straight-line polar
+    equation r cos(theta - theta0') = const with theta measured appropriately.
+    """
+    phi = np.asarray(x) / R
+    r0 = R + h0
+    return r0 * np.cos(elev) / np.cos(elev + phi) - R
+
+
+def test_flat_straight_exact():
+    elev = np.deg2rad(np.array([-0.5, 0.0, 0.7], dtype=np.float32))
+    h, plen = march_rays(100.0, elev, 50.0, 200, FLAT, None, straight=True)
+    xs = np.arange(201) * 50.0
+    expected = 100.0 + np.tan(elev)[:, None] * xs[None, :]
+    np.testing.assert_allclose(h, expected, atol=2e-2)
+    # path length of a straight line: x / cos(elev)
+    np.testing.assert_allclose(
+        plen[:, -1], xs[-1] / np.cos(elev), rtol=1e-5
+    )
+
+
+def test_sphere_straight_vs_closed_form():
+    h0 = 1000.0
+    elevs = np.deg2rad(np.array([-0.6, -0.1, 0.0, 0.4]))
+    h, _ = march_rays(
+        h0, elevs.astype(np.float32), 50.0, 2000, SPHERE, None, straight=True
+    )
+    xs = np.arange(2001) * 50.0
+    for i, e in enumerate(elevs):
+        expected = straight_sphere_exact(h0, e, xs)
+        np.testing.assert_allclose(np.asarray(h[i]), expected, atol=0.5)
+
+
+def test_horizon_dip_straight():
+    # Geometric dip: a straight ray at elevation -acos(R/(R+h)) grazes the
+    # surface (min altitude ~ 0).
+    h0 = 100.0
+    dip = -np.arccos(R / (R + h0))
+    h, _ = march_rays(
+        h0, np.array([dip], np.float32), 25.0, 3000, SPHERE, None, straight=True
+    )
+    min_h = float(np.min(np.asarray(h)))
+    assert abs(min_h) < 1.0  # grazes within a meter
+
+
+def test_refraction_curvature_matches_table(table):
+    # Horizontal ray in a standard atmosphere: curvature d2h/dx2 ~ l(h) + 1/R
+    # (spherical) at the launch point. Fit the quadratic over a short arc.
+    h0 = 500.0
+    h, _ = march_rays(
+        h0, np.array([0.0], np.float32), 10.0, 100, SPHERE, table, straight=False
+    )
+    xs = np.arange(101) * 10.0
+    coeffs = np.polyfit(xs, np.asarray(h[0]), 2)
+    expected_half_curv = 0.5 * (
+        float(table.lookup(jnp.float32(h0))) + 1.0 / R
+    )
+    assert coeffs[0] == pytest.approx(expected_half_curv, rel=5e-3)
+
+
+def test_refraction_extends_horizon(table):
+    # Refraction bends rays downward (dn/dh < 0), so the *grazing* ray leaves
+    # the observer at a smaller dip than geometric: dip_refr ~ dip*sqrt(1-k).
+    # Consequently a ray launched at the full geometric dip dives below the
+    # surface, while one at dip*sqrt(1-k) grazes it.
+    h0 = 100.0
+    dip = np.arccos(R / (R + h0))
+    k = -float(table.lookup(jnp.float32(h0))) * R  # ~0.15 standard
+    h_geom, _ = march_rays(
+        h0, np.array([-dip], np.float32), 25.0, 3000, SPHERE, table, straight=False
+    )
+    assert float(np.min(np.asarray(h_geom))) < -5.0
+    h_graze, _ = march_rays(
+        h0,
+        np.array([-dip * np.sqrt(1.0 - k)], np.float32),
+        25.0,
+        3000,
+        SPHERE,
+        table,
+        straight=False,
+    )
+    assert abs(float(np.min(np.asarray(h_graze)))) < 5.0
+
+
+def test_flat_refracted_ray_bends_down(table):
+    # dn/dh < 0 ⇒ rays curve downward on a flat Earth.
+    h, _ = march_rays(
+        50.0, np.array([0.0], np.float32), 50.0, 1000, FLAT, table, straight=False
+    )
+    assert float(h[0, -1]) < 50.0
+
+
+def test_initial_slope():
+    assert float(initial_slope(jnp.float32(0.0), jnp.float32(0.1), FLAT)) == (
+        pytest.approx(np.tan(0.1), rel=1e-6)
+    )
+    s = float(initial_slope(jnp.float32(1000.0), jnp.float32(0.1), SPHERE))
+    assert s == pytest.approx((1 + 1000.0 / R) * np.tan(0.1), rel=1e-6)
+
+
+def test_path_length_spherical_correction():
+    # A horizontal-ish straight ray at high altitude accumulates path length
+    # faster than surface arc (factor (h+R)/R) — utils.rs:42-53 semantics.
+    h0 = 10000.0
+    _, plen = march_rays(
+        h0, np.array([0.0], np.float32), 50.0, 100, SPHERE, None, straight=True
+    )
+    x_total = 100 * 50.0
+    assert float(plen[0, -1]) > x_total * (1 + h0 / R) * 0.999
