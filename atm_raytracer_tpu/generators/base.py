@@ -1,0 +1,68 @@
+"""Hit buffers: the dense fixed-K replacement for Vec<TracePoint>.
+
+The reference's per-pixel output is ``ResultPixel{elevation_angle, azimuth,
+trace_points: Vec<TracePoint>}`` with ``TracePoint{lat, lon, distance,
+elevation, path_length, normal, color}`` (generators/mod.rs:14-44). On TPU
+the variable-length vectors become K fixed slots per pixel with validity
+masks (SURVEY §7 "hard parts"), sorted ascending by march position; slots
+beyond the pixel's hit count are invalid.
+
+``kind``: 0 = PixelColor::Terrain(alpha), 1 = PixelColor::Rgba(color)
+(generators/mod.rs:46-80). ``rgba[..., 3]`` stores the alpha for both kinds.
+Positions are observer-relative degrees (see models.earth); absolute lat/lon
+are reconstructed on host when writing metadata.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HitBuffer:
+    valid: jnp.ndarray  # [H, W, K] bool
+    key: jnp.ndarray  # [H, W, K] f32 march sort position (k + prop)
+    dlat: jnp.ndarray  # [H, W, K] degrees from observer
+    dlon: jnp.ndarray
+    distance: jnp.ndarray  # [H, W, K] meters (x at hit)
+    elevation: jnp.ndarray  # terrain elev (terrain hits) / ray elev (objects)
+    path_length: jnp.ndarray
+    normal: jnp.ndarray  # [H, W, K, 3]
+    kind: jnp.ndarray  # [H, W, K] int32: 0 terrain / 1 rgba
+    rgba: jnp.ndarray  # [H, W, K, 4]
+
+    def tree_flatten(self):
+        return (
+            (self.valid, self.key, self.dlat, self.dlon, self.distance,
+             self.elevation, self.path_length, self.normal, self.kind, self.rgba),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def k_slots(self) -> int:
+        return self.valid.shape[-1]
+
+
+@dataclasses.dataclass
+class RenderResult:
+    """One rendered frame: image + hit buffers + the angle grids.
+
+    elevation_deg [H] / azimuth_deg [W] for the Fast generator (separable);
+    rectilinear generators carry full [H, W] grids.
+    """
+
+    image: np.ndarray  # [H, W, 3] uint8 (pre-annotation)
+    hits: HitBuffer
+    elevation_deg: np.ndarray  # [H] or [H, W]
+    azimuth_deg: np.ndarray  # [W] or [H, W]
+    observer: tuple  # (lat0, lon0, alt_abs)

@@ -1,0 +1,204 @@
+"""Fast generator: the separable path×terrain tensor program.
+
+Reference: src/generator/generators/fast.rs — pixel (x, y) maps to
+azimuth(x) and elevation(y) independently (fast.rs:111-125), so one path
+march per row and one terrain scan per column suffice (fast.rs:27-44), then a
+W×H combine (fast.rs:52-92).
+
+TPU shape of the same idea:
+  1. march all H row-rays in lockstep      → ray_h [H, N], path_len [H, N]
+  2. geodesic + terrain gather per column  → terr [W, N], normals [W, N, 3]
+  3. dense crossing-detection combine      → keys [H, W, K]
+  4. field gathers at the keys             → HitBuffer
+  5. coloring + compositing                → u8 image
+Steps 1-5 are one jit program; the host only packs terrain tiles and builds
+the refraction table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from ..models import camera
+from ..models.earth import EarthModel
+from ..ops import combine
+from ..ops.composite import composite
+from ..physics.ray import EarthShape, RefractionTable, march_rays
+from ..terrain.sample import sample_terrain_data
+from ..terrain.store import Terrain, TerrainPack
+from .base import HitBuffer, RenderResult
+from ..ops.objects import ObjectSet, object_hits_fast, merge_hits
+
+
+def terrain_bbox(params: Params) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+    """Lat/lon box the render can touch: observer ± max_distance + margin."""
+    lat0 = params.view.position.latitude
+    lon0 = params.view.position.longitude
+    # conservative meters-per-degree lower bound 90 km (covers flat models'
+    # 111.1 km and high-latitude longitude shrink)
+    d_deg = params.view.frame.max_distance / 90_000.0 + 0.1
+    coslat = max(0.2, math.cos(math.radians(lat0)))
+    return (lat0 - d_deg, lat0 + d_deg), (lon0 - d_deg / coslat, lon0 + d_deg / coslat)
+
+
+def build_refraction_table(params: Params, alt0: float) -> RefractionTable:
+    """Size the l(h) table to cover every altitude the march can visit."""
+    max_elev_deg = abs(params.view.frame.tilt) + params.view.frame.fov  # slack
+    top = alt0 + math.tan(math.radians(min(max_elev_deg, 89.0))) * (
+        params.view.frame.max_distance
+    )
+    h_hi = float(min(max(20_000.0, top * 1.1 + 1000.0), 90_000.0))
+    return RefractionTable.build(
+        params.atmosphere, params.wavelength, h_lo=-2000.0, h_hi=h_hi, dh=1.0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
+        "lon0", "coloring", "fog_distance", "terrain_alpha",
+    ),
+)
+def _render_fast_device(
+    pack: TerrainPack,
+    table: RefractionTable,
+    objects: Optional[ObjectSet],
+    elev_deg: jnp.ndarray,  # [H]
+    az_deg: jnp.ndarray,  # [W]
+    alt0: float,
+    *,
+    model: EarthModel,
+    shape: EarthShape,
+    straight: bool,
+    step: float,
+    n_terr: int,
+    max_hits: int,
+    lat0: float,
+    lon0: float,
+    coloring,
+    fog_distance: Optional[float],
+    terrain_alpha: float,
+):
+    # 1. path cache: [H, n_terr] ray altitudes at x = k*step (march n_terr-1
+    # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174
+    ray_h, path_len = march_rays(
+        alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
+        shape, table, straight,
+    )
+
+    # 2. terrain cache: geodesic per column × march step — utils.rs:176-199
+    dists = jnp.arange(n_terr, dtype=jnp.float32) * jnp.float32(step)
+    dlat, dlon = model.geodesic_delta(
+        lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
+    )  # [W, n_terr]
+    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+
+    # 3. crossing keys [H, W, K]
+    n_seg = n_terr - 1
+    keys = combine.terrain_crossing_keys(ray_h, terr_elev, n_seg, max_hits)
+    valid = jnp.isfinite(keys)
+    safe_keys = jnp.where(valid, keys, 0.0)
+
+    # 4. field gathers (TracingState::interpolate semantics, utils.rs:108-133)
+    hit_dlat = combine.gather_column_field(dlat, safe_keys)
+    hit_dlon = combine.gather_column_field(dlon, safe_keys)
+    hit_elev = combine.gather_column_field(terr_elev, safe_keys)
+    hit_normal = combine.gather_column_field(terr_normal, safe_keys)
+    hit_plen = combine.gather_ray_field(path_len, safe_keys)
+    hit_dist = safe_keys * jnp.float32(step)  # dist is linear in the key
+
+    h_n, w_n = elev_deg.shape[0], az_deg.shape[0]
+    rgba = jnp.zeros((h_n, w_n, max_hits, 4), jnp.float32)
+    rgba = rgba.at[..., 3].set(jnp.float32(terrain_alpha))
+    hits = HitBuffer(
+        valid=valid,
+        key=keys,
+        dlat=hit_dlat,
+        dlon=hit_dlon,
+        distance=hit_dist,
+        elevation=hit_elev,
+        path_length=hit_plen,
+        normal=hit_normal,
+        kind=jnp.zeros((h_n, w_n, max_hits), jnp.int32),
+        rgba=rgba,
+    )
+
+    # 4b. scene objects (frustums / billboards)
+    if objects is not None:
+        obj_hits = object_hits_fast(
+            objects, model, lat0, lon0, step,
+            ray_h, path_len, dlat, dlon,
+        )
+        hits = merge_hits(hits, obj_hits, max_hits + obj_hits.k_slots)
+
+    # 5. image
+    image = composite(
+        coloring,
+        fog_distance,
+        hits.valid,
+        hits.rgba[..., 3],
+        hits.distance,
+        hits.elevation,
+        hits.path_length,
+        hits.normal,
+        hits.kind,
+        hits.rgba[..., :3],
+    )
+    return image, hits
+
+
+def render_fast(params: Params, terrain: Terrain, max_hits: Optional[int] = None,
+                progress=None) -> RenderResult:
+    """Full Fast-generator render from lowered Params (fast.rs:22-98)."""
+    out = params.output
+    frame = params.view.frame
+    pos = params.view.position
+    alt0 = pos.abs_altitude(terrain)
+
+    elev_deg = camera.fast_ray_elevations(out.width, out.height, frame.fov, frame.tilt)
+    az_deg = camera.fast_ray_azimuths(out.width, out.height, frame.fov, frame.direction)
+
+    lat_rng, lon_rng = terrain_bbox(params)
+    pack = terrain.pack(lat_rng, lon_rng)
+    table = build_refraction_table(params, alt0)
+    n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
+    if max_hits is None:
+        max_hits = 1 if params.terrain_alpha >= 1.0 else 4
+
+    objset = ObjectSet.build(params, terrain) if params.objects else None
+
+    image, hits = _render_fast_device(
+        pack,
+        table,
+        objset,
+        jnp.asarray(elev_deg, jnp.float32),
+        jnp.asarray(az_deg, jnp.float32),
+        float(alt0),
+        model=params.model,
+        shape=params.model.to_shape(),
+        straight=params.straight_rays,
+        step=float(params.simulation_step),
+        n_terr=n_terr,
+        max_hits=int(max_hits),
+        lat0=float(pos.latitude),
+        lon0=float(pos.longitude),
+        coloring=params.coloring,
+        fog_distance=params.view.fog_distance,
+        terrain_alpha=float(params.terrain_alpha),
+    )
+    return RenderResult(
+        image=np.asarray(image),
+        hits=jax.tree.map(np.asarray, hits),
+        elevation_deg=elev_deg,
+        azimuth_deg=camera.wrap_azimuth_deg(az_deg),
+        observer=(pos.latitude, pos.longitude, alt0),
+    )

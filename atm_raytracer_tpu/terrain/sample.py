@@ -1,0 +1,112 @@
+"""Device-side terrain sampling: vectorized bilinear gather + surface normals.
+
+Replaces the per-point host lookups of the reference hot path:
+``Terrain::get_elev`` (terrain/mod.rs:120-126, geotiff.rs:61-100 bilinear) and
+``find_normal`` (generators/utils.rs:15-40, central differences ±15 m in the
+local ENU frame).
+
+Positions arrive as f32 *deltas from the observer* (see models.earth); the
+observer's absolute position enters through compile-time-constant floor/frac
+parts, so tile-local coordinates keep full f32 precision.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..models.earth import EarthModel, NORMAL_DIFF
+from .store import TerrainPack
+
+
+def sample_elevation(
+    pack: TerrainPack,
+    dlat: jnp.ndarray,
+    dlon: jnp.ndarray,
+    lat0: float,
+    lon0: float,
+) -> jnp.ndarray:
+    """Bilinear elevation at (lat0+dlat, lon0+dlon); missing tiles → 0.0.
+
+    dlat/dlon: f32 arrays (any shape), degrees relative to the observer.
+    lat0/lon0: observer absolute position (python floats, static).
+    """
+    lat0_floor = math.floor(lat0)
+    lon0_floor = math.floor(lon0)
+    a_lat = jnp.float32(lat0 - lat0_floor) + dlat  # tile-continuous coordinate
+    a_lon = jnp.float32(lon0 - lon0_floor) + dlon
+    cell_lat = jnp.floor(a_lat)
+    cell_lon = jnp.floor(a_lon)
+    local_lat = a_lat - cell_lat  # in [0, 1)
+    local_lon = a_lon - cell_lon
+
+    row_cell = cell_lat.astype(jnp.int32) + (lat0_floor - pack.lat_min)
+    col_cell = cell_lon.astype(jnp.int32) + (lon0_floor - pack.lon_min)
+    n_rows, n_cols = pack.index_map.shape
+    in_map = (
+        (row_cell >= 0) & (row_cell < n_rows) & (col_cell >= 0) & (col_cell < n_cols)
+    )
+    row_c = jnp.clip(row_cell, 0, n_rows - 1)
+    col_c = jnp.clip(col_cell, 0, n_cols - 1)
+    tile_id = pack.index_map[row_c, col_c]
+    valid = in_map & (tile_id >= 0)
+    t = jnp.maximum(tile_id, 0)
+
+    r = local_lat * pack.rows_m1[t]
+    c = local_lon * pack.cols_m1[t]
+    ri = jnp.minimum(jnp.floor(r), pack.rows_m1[t] - 1.0).astype(jnp.int32)
+    ci = jnp.minimum(jnp.floor(c), pack.cols_m1[t] - 1.0).astype(jnp.int32)
+    rf = r - ri.astype(jnp.float32)
+    cf = c - ci.astype(jnp.float32)
+
+    s = pack.tiles.shape[1]
+    flat = pack.tiles.reshape(-1)
+    base = t * (s * s) + ri * s + ci
+    e00 = jnp.take(flat, base)
+    e10 = jnp.take(flat, base + s)
+    e01 = jnp.take(flat, base + 1)
+    e11 = jnp.take(flat, base + s + 1)
+    elev = (
+        e00 * (1 - rf) * (1 - cf)
+        + e10 * rf * (1 - cf)
+        + e01 * (1 - rf) * cf
+        + e11 * rf * cf
+    )
+    return jnp.where(valid, elev, 0.0)
+
+
+def sample_terrain_data(
+    pack: TerrainPack,
+    model: EarthModel,
+    dlat: jnp.ndarray,
+    dlon: jnp.ndarray,
+    lat0: float,
+    lon0: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Elevation + outward surface normal at each point.
+
+    Normal per reference find_normal (utils.rs:15-40): central differences of
+    elevation ±15 m N/S/E/W (closed-form angular offsets, models.earth),
+    composed in the *global* cartesian frame via world_directions at the
+    point, normal = normalize(vec_ew × vec_ns).
+
+    Returns (elev [...], normal [..., 3]).
+    """
+    elev = sample_elevation(pack, dlat, dlon, lat0, lon0)
+    lat_abs = jnp.float32(lat0) + dlat
+    lon_abs = jnp.float32(lon0) + dlon
+    off_lat, off_lon = model.normal_offsets(lat_abs)
+    e_n = sample_elevation(pack, dlat + off_lat, dlon, lat0, lon0)
+    e_s = sample_elevation(pack, dlat - off_lat, dlon, lat0, lon0)
+    e_e = sample_elevation(pack, dlat, dlon + off_lon, lat0, lon0)
+    e_w = sample_elevation(pack, dlat, dlon - off_lon, lat0, lon0)
+    north, east, up = model.world_directions(lat_abs, lon_abs, xp=jnp)
+    diff_ns = (e_n - e_s)[..., None]
+    diff_ew = (e_e - e_w)[..., None]
+    vec_ns = 2.0 * NORMAL_DIFF * north + diff_ns * up
+    vec_ew = 2.0 * NORMAL_DIFF * east + diff_ew * up
+    normal = jnp.cross(vec_ew, vec_ns)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    return elev, normal / jnp.maximum(norm, 1e-30)

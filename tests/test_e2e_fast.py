@@ -1,0 +1,163 @@
+"""End-to-end Fast-generator renders on synthetic terrain.
+
+Oracles (SURVEY §4): horizon structure on a sphere vs flat Earth, sky/terrain
+split, metadata round-trip, CLI drive.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import make_terrain_folder
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _write_config(tmp_path, terrain_folder, **over):
+    cfg = {
+        "scene": {"terrain_folder": str(terrain_folder)},
+        "view": {
+            "position": {
+                "latitude": 49.5,
+                "longitude": 21.5,
+                "altitude": {"Relative": 30.0},
+            },
+            "frame": {
+                "direction": 45.0,
+                "fov": 20.0,
+                "max_distance": 30000.0,
+                "tilt": 0.0,
+            },
+            "coloring": {"Shading": {"water_level": -100.0}},
+        },
+        "straight_rays": False,
+        "simulation_step": 100.0,
+        "output": {
+            "width": 64,
+            "height": 48,
+            "file": str(tmp_path / "out.png"),
+        },
+    }
+    cfg.update(over)
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+@pytest.fixture(scope="module")
+def terrain_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("terrain")
+    return make_terrain_folder(d, tiles=((49, 21),), n=361)
+
+
+def _render(tmp_path, terrain_dir, **over):
+    from atm_raytracer_tpu.config import parse_config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    cfg_path = _write_config(tmp_path, terrain_dir, **over)
+    config = parse_config(cfg_path)
+    terrain = Terrain.from_folder(terrain_dir)
+    params = config.into_params(terrain)
+    return config, params, render_fast(params, terrain)
+
+
+def test_fast_render_shape_and_sky(tmp_path, terrain_dir):
+    config, params, result = _render(tmp_path, terrain_dir)
+    assert result.image.shape == (48, 64, 3)
+    # top rows look at the sky (no hits); bottom rows hit terrain
+    assert not result.hits.valid[0].any()
+    assert result.hits.valid[-1].all()
+    # sky color = Improved palette sky (0.23, 0.41, 0.55) → u8 trunc
+    np.testing.assert_array_equal(
+        result.image[0, 0], np.trunc(np.array([0.23, 0.41, 0.55]) * 255)
+    )
+    # hit distances grow toward the horizon (higher rows → farther)
+    valid_rows = np.where(result.hits.valid[:, 32, 0])[0]
+    d = result.hits.distance[valid_rows, 32, 0]
+    assert (np.diff(d) <= 0).mean() > 0.9  # row index grows downward
+
+
+def test_flat_earth_sees_farther(tmp_path, terrain_dir):
+    # On a flat Earth there is no geometric horizon: the terrain fills rows
+    # that are sky on the sphere (the tool's raison d'être, README.md:9-12).
+    _, _, sphere = _render(tmp_path, terrain_dir)
+    _, _, flat = _render(tmp_path, terrain_dir, earth_shape="FlatDistorted")
+    assert flat.hits.valid[..., 0].sum() >= sphere.hits.valid[..., 0].sum()
+    # the horizon row (first valid from top, center column) is higher on flat
+    def horizon_row(res):
+        col = res.hits.valid[:, 32, 0]
+        return int(np.argmax(col))
+    assert horizon_row(flat) <= horizon_row(sphere)
+
+
+def test_hit_elevation_matches_terrain(tmp_path, terrain_dir):
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    _, params, result = _render(tmp_path, terrain_dir)
+    terrain = Terrain.from_folder(terrain_dir)
+    hits = result.hits
+    ys, xs = np.where(hits.valid[..., 0])
+    lat0, lon0, _ = result.observer
+    sel = slice(0, len(ys), max(1, len(ys) // 50))
+    for y, x in zip(ys[sel], xs[sel]):
+        lat = lat0 + float(hits.dlat[y, x, 0])
+        lon = lon0 + float(hits.dlon[y, x, 0])
+        expect = terrain.get_elev_or0(lat, lon)
+        got = float(hits.elevation[y, x, 0])
+        # hit elevation is lerped between 100 m march samples; the terrain
+        # between samples is smooth → couple-meter tolerance
+        assert got == pytest.approx(expect, abs=8.0), (y, x)
+
+
+def test_straight_vs_refracted_horizon(tmp_path, terrain_dir):
+    _, _, refr = _render(tmp_path, terrain_dir)
+    _, _, straight = _render(tmp_path, terrain_dir, straight_rays=True)
+    # refraction extends the horizon: at least as many terrain pixels
+    assert refr.hits.valid[..., 0].sum() >= straight.hits.valid[..., 0].sum()
+
+
+def test_metadata_roundtrip(tmp_path, terrain_dir):
+    from atm_raytracer_tpu.meta.serialize import load_metadata, save_metadata
+    from atm_raytracer_tpu.meta.viewer import _render_from_metadata, pixel_info
+
+    config, params, result = _render(tmp_path, terrain_dir)
+    meta_path = tmp_path / "meta.npz"
+    save_metadata(meta_path, config, result)
+    config2, result2 = load_metadata(meta_path)
+    # re-rendered image identical to the original composite
+    img2 = _render_from_metadata(config2, result2)
+    np.testing.assert_array_equal(img2, result.image)
+    # pixel info text renders
+    info = pixel_info(config2, result2, 32, 40)
+    assert "distance" in info and "azimuth" in info
+
+
+def test_cli_gen(tmp_path, terrain_dir):
+    cfg_path = _write_config(tmp_path, terrain_dir)
+    out_png = tmp_path / "out.png"
+    meta = tmp_path / "m.npz"
+    env = {"PYTHONPATH": str(REPO), "ATM_RAYTRACER_PLATFORM": "cpu"}
+    import os
+    env = {**os.environ, **env}
+    r = subprocess.run(
+        [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen",
+         "-c", str(cfg_path), "--output-meta", str(meta)],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert out_png.exists()
+    assert meta.exists()
+    # view headless
+    r2 = subprocess.run(
+        [sys.executable, "-m", "atm_raytracer_tpu.cli", "view", str(meta),
+         "--pixel", "32", "40", "--save-image", str(tmp_path / "re.png")],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr + r2.stdout
+    assert "View direction" in r2.stdout
+    assert (tmp_path / "re.png").exists()

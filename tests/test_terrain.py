@@ -1,0 +1,146 @@
+"""Terrain: parser round-trips, store semantics, device gather vs host."""
+
+import numpy as np
+import pytest
+
+from atm_raytracer_tpu.models.earth import EarthModel
+from atm_raytracer_tpu.terrain import (
+    Terrain,
+    coords_from_name,
+    read_dted,
+    read_dted_header,
+    read_geotiff,
+    sample_elevation,
+    sample_terrain_data,
+    write_dted,
+    write_geotiff,
+)
+from fixtures import analytic_hills, make_terrain_folder, tile_grid
+
+
+def test_dted_roundtrip(tmp_path):
+    grid = tile_grid(49, 21, 61)
+    grid[0, 0] = -42  # exercise signed-magnitude encoding
+    p = tmp_path / "n49_e021.dt2"
+    write_dted(p, 49, 21, grid)
+    hdr = read_dted_header(p)
+    assert hdr.origin_lat == 49 and hdr.origin_lon == 21
+    assert hdr.n_lat == 61 and hdr.n_lon == 61
+    hdr2, elev = read_dted(p)
+    np.testing.assert_array_equal(elev, grid.astype(np.float32))
+
+
+def test_dted_negative_lon(tmp_path):
+    grid = tile_grid(49, 21, 13)
+    p = tmp_path / "s02_w071.dt2"
+    write_dted(p, -2, -71, grid)
+    hdr = read_dted_header(p)
+    assert hdr.origin_lat == -2 and hdr.origin_lon == -71
+
+
+def test_geotiff_roundtrip(tmp_path):
+    grid = tile_grid(49, 21, 61)
+    p = tmp_path / "N49E021.tif"
+    write_geotiff(p, grid[::-1])
+    img = read_geotiff(p)
+    np.testing.assert_array_equal(img, grid[::-1].astype(np.float32))
+    assert coords_from_name(p) == (49, 21)
+    assert coords_from_name("S23W071.hgt.tif") == (-23, -71)
+    assert coords_from_name("nothing.tif") is None
+
+
+def test_store_bilinear_matches_analytic(tmp_path):
+    make_terrain_folder(tmp_path, tiles=((49, 21),), n=601, fmt="dted")
+    t = Terrain.from_folder(tmp_path)
+    # mid-tile: bilinear of a smooth function on a 600-interval grid
+    for lat, lon in [(49.5, 21.5), (49.979439, 21.622839), (49.0, 21.0)]:
+        got = t.get_elev(lat, lon)
+        expect = analytic_hills(lat, lon)
+        assert got == pytest.approx(expect, abs=2.0)
+    # outside any tile: None → callers use 0.0
+    assert t.get_elev(48.5, 21.5) is None
+    assert t.get_elev_or0(48.5, 21.5) == 0.0
+
+
+def test_device_sample_matches_host(tmp_path):
+    make_terrain_folder(tmp_path, tiles=((49, 21), (49, 22)), n=241, fmt="dted")
+    t = Terrain.from_folder(tmp_path)
+    pack = t.pack((49.0, 50.0), (21.0, 23.0))
+    lat0, lon0 = 49.4, 21.9
+    rng = np.random.RandomState(0)
+    dlat = rng.uniform(-0.35, 0.55, 300).astype(np.float32)
+    dlon = rng.uniform(-0.85, 1.05, 300).astype(np.float32)
+    got = np.asarray(sample_elevation(pack, dlat, dlon, lat0, lon0))
+    expect = np.array(
+        [t.get_elev_or0(lat0 + a, lon0 + b) for a, b in zip(dlat, dlon)]
+    )
+    np.testing.assert_allclose(got, expect, atol=0.5)
+
+
+def test_device_sample_missing_tile_is_zero(tmp_path):
+    make_terrain_folder(tmp_path, tiles=((49, 21),), n=61)
+    t = Terrain.from_folder(tmp_path)
+    pack = t.pack((48.0, 50.0), (20.0, 22.0))
+    got = np.asarray(
+        sample_elevation(
+            pack,
+            np.float32([0.0, -1.0]),  # second point falls in missing tile
+            np.float32([0.0, 0.0]),
+            49.5,
+            21.5,
+        )
+    )
+    assert got[0] != 0.0
+    assert got[1] == 0.0
+
+
+def test_mixed_resolution_pack(tmp_path):
+    # two tiles with different post counts in one pack
+    grid_a = tile_grid(49, 21, 121)
+    grid_b = tile_grid(49, 22, 61)
+    write_dted(tmp_path / "a.dt2", 49, 21, grid_a)
+    write_dted(tmp_path / "b.dt2", 49, 22, grid_b)
+    t = Terrain.from_folder(tmp_path)
+    pack = t.pack((49.0, 50.0), (21.0, 23.0))
+    got = np.asarray(
+        sample_elevation(
+            pack,
+            np.float32([0.1, 0.1]),
+            np.float32([0.3, 1.3]),
+            49.2,
+            21.2,
+        )
+    )
+    assert got[0] == pytest.approx(t.get_elev(49.3, 21.5), abs=0.5)
+    assert got[1] == pytest.approx(t.get_elev(49.3, 22.5), abs=0.5)
+
+
+def test_normals_point_up_and_tilt_downhill(tmp_path):
+    make_terrain_folder(tmp_path, tiles=((49, 21),), n=241)
+    t = Terrain.from_folder(tmp_path)
+    pack = t.pack((49.0, 50.0), (21.0, 22.0))
+    model = EarthModel(kind="Spherical", radius=6371000.0)
+    lat0, lon0 = 49.5, 21.5
+    dlat = np.float32([0.0, 0.07, -0.13])
+    dlon = np.float32([0.0, 0.11, 0.21])
+    elev, normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+    normal = np.asarray(normal)
+    # unit length
+    np.testing.assert_allclose(np.linalg.norm(normal, axis=-1), 1.0, atol=1e-5)
+    # positive component along local up
+    _, _, up = model.world_directions(lat0 + dlat.astype(np.float64),
+                                      lon0 + dlon.astype(np.float64))
+    up_dot = (normal * up).sum(-1)
+    assert (up_dot > 0.5).all()
+    # compare against analytic gradient of the landscape at point 0
+    eps = 1e-4
+    dz_dlat = (analytic_hills(lat0 + eps, lon0) - analytic_hills(lat0 - eps, lon0)) / (
+        2 * eps
+    )  # m per degree
+    # normal's north component ~ -slope_north * up_component (small slopes)
+    m_per_deg_lat = np.deg2rad(1.0) * 6371000.0
+    slope_north = dz_dlat / m_per_deg_lat
+    north0, _, up0 = model.world_directions(lat0, lon0)
+    n0 = normal[0]
+    got_slope = -(n0 @ north0) / (n0 @ up0)
+    assert got_slope == pytest.approx(slope_north, rel=0.1, abs=5e-3)
