@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -29,7 +30,7 @@ import numpy as np
 from ..config import Params
 from ..models import camera
 from ..models.earth import EarthModel
-from ..ops import combine
+from ..ops import combine, combine_pallas
 from ..ops.composite import composite
 from ..physics.ray import EarthShape, RefractionTable, march_rays
 from ..terrain.sample import sample_terrain_data
@@ -61,20 +62,13 @@ def build_refraction_table(params: Params, alt0: float) -> RefractionTable:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
-        "lon0", "coloring", "fog_distance", "terrain_alpha",
-    ),
-)
-def _render_fast_device(
+def separable_hits(
     pack: TerrainPack,
-    table: RefractionTable,
+    table: Optional[RefractionTable],
     objects: Optional[ObjectSet],
     elev_deg: jnp.ndarray,  # [H]
     az_deg: jnp.ndarray,  # [W]
-    alt0: float,
+    alt0,
     *,
     model: EarthModel,
     shape: EarthShape,
@@ -84,10 +78,12 @@ def _render_fast_device(
     max_hits: int,
     lat0: float,
     lon0: float,
-    coloring,
-    fog_distance: Optional[float],
     terrain_alpha: float,
-):
+) -> HitBuffer:
+    """Hits on the separable (elevation-row × azimuth-column) product grid.
+
+    Shared by the Fast generator (camera rows/columns) and the
+    InterpolatingRectilinear generator (snapped angular grid)."""
     # 1. path cache: [H, n_terr] ray altitudes at x = k*step (march n_terr-1
     # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174
     ray_h, path_len = march_rays(
@@ -102,9 +98,21 @@ def _render_fast_device(
     )  # [W, n_terr]
     terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
 
-    # 3. crossing keys [H, W, K]
+    # 3. crossing keys [H, W, K]. The chunked XLA combine fuses into a
+    # min-reduce and is VPU-bound (~tens of ms at 1080p/4000 steps); the
+    # Pallas kernel (combine_pallas) is opt-in via ATM_RAYTRACER_PALLAS=1 —
+    # it adds tile-level early exit but its 128-wide unrolled body compiles
+    # very slowly on remote-AOT toolchains.
     n_seg = n_terr - 1
-    keys = combine.terrain_crossing_keys(ray_h, terr_elev, n_seg, max_hits)
+    if (
+        max_hits == 1
+        and os.environ.get("ATM_RAYTRACER_PALLAS") == "1"
+        and combine_pallas.supports_pallas()
+    ):
+        ray_folded = combine_pallas.fold_ray_death(ray_h)
+        keys = combine_pallas.first_crossing_pallas(ray_folded, terr_elev, n_seg)
+    else:
+        keys = combine.terrain_crossing_keys(ray_h, terr_elev, n_seg, max_hits)
     valid = jnp.isfinite(keys)
     safe_keys = jnp.where(valid, keys, 0.0)
 
@@ -139,8 +147,37 @@ def _render_fast_device(
             ray_h, path_len, dlat, dlon,
         )
         hits = merge_hits(hits, obj_hits, max_hits + obj_hits.k_slots)
+    return hits
 
-    # 5. image
+
+def fast_core(
+    pack: TerrainPack,
+    table: Optional[RefractionTable],
+    objects: Optional[ObjectSet],
+    elev_deg: jnp.ndarray,  # [H]
+    az_deg: jnp.ndarray,  # [W]
+    alt0,
+    light_dir=None,  # traced per-frame light override (batched sweeps)
+    *,
+    model: EarthModel,
+    shape: EarthShape,
+    straight: bool,
+    step: float,
+    n_terr: int,
+    max_hits: int,
+    lat0: float,
+    lon0: float,
+    coloring,
+    fog_distance: Optional[float],
+    terrain_alpha: float,
+):
+    """The whole Fast pipeline as one traceable function (vmappable for
+    batched sweeps, shardable for multi-chip)."""
+    hits = separable_hits(
+        pack, table, objects, elev_deg, az_deg, alt0,
+        model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
+        max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
+    )
     image = composite(
         coloring,
         fog_distance,
@@ -152,8 +189,18 @@ def _render_fast_device(
         hits.normal,
         hits.kind,
         hits.rgba[..., :3],
+        light_dir=light_dir,
     )
     return image, hits
+
+
+_render_fast_device = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
+        "lon0", "coloring", "fog_distance", "terrain_alpha",
+    ),
+)(fast_core)
 
 
 def render_fast(params: Params, terrain: Terrain, max_hits: Optional[int] = None,

@@ -110,6 +110,7 @@ def color_hits(
     normal: jnp.ndarray,  # [..., K, 3]
     kind: jnp.ndarray,  # [..., K] 0=terrain 1=rgba
     rgb: jnp.ndarray,  # [..., K, 3]
+    light_dir: Optional[jnp.ndarray] = None,  # traced override (sweeps)
 ) -> jnp.ndarray:
     """color_for_pixel over all hit slots → [..., K, 3] on the u8 grid."""
     if params.kind == "Simple":
@@ -138,7 +139,7 @@ def color_hits(
         return jnp.where((elevation <= params.water_level)[..., None], water, land)
 
     # Shading
-    light = jnp.asarray(params.light_dir)
+    light = jnp.asarray(params.light_dir) if light_dir is None else light_dir
     light_dot = jnp.maximum((normal * light).sum(-1), 0.0)
     brightness = params.ambient_light + (1.0 - params.ambient_light) * light_dot**2
     _, _, _, water_col = _palette_colors(params.palette)

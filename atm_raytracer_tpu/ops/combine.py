@@ -30,9 +30,10 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-NO_HIT = jnp.float32(jnp.inf)
+NO_HIT = np.float32(np.inf)
 DEATH_ALTITUDE = -1000.0  # utils.rs:167
 
 

@@ -39,9 +39,11 @@ def composite(
     normal: jnp.ndarray,  # [..., K, 3]
     kind: jnp.ndarray,  # [..., K]
     rgb: jnp.ndarray,  # [..., K, 3]
+    light_dir=None,
 ) -> jnp.ndarray:
     """Returns the composited image [..., 3] as uint8."""
-    colors = color_hits(coloring, distance, elevation, normal, kind, rgb)
+    colors = color_hits(coloring, distance, elevation, normal, kind, rgb,
+                        light_dir=light_dir)
     if fog_distance is not None:
         colors = apply_fog(colors, path_length, fog_distance)
         def_color = jnp.asarray(fog_color())

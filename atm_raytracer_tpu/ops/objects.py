@@ -60,6 +60,7 @@ class ObjectSet:
     # static python metadata
     n_objects: int
     seg_window: int  # march-steps window (covers the culling chord)
+    kinds_static: tuple  # per-object kind (0 frustum / 1 billboard), static
 
     def tree_flatten(self):
         children = (
@@ -67,11 +68,12 @@ class ObjectSet:
             self.height, self.width, self.rgba, self.basis, self.tex_id,
             self.textures, self.tex_hw, self.cull_r2,
         )
-        return children, (self.n_objects, self.seg_window)
+        return children, (self.n_objects, self.seg_window, self.kinds_static)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_objects=aux[0], seg_window=aux[1])
+        return cls(*children, n_objects=aux[0], seg_window=aux[1],
+                   kinds_static=aux[2])
 
     @staticmethod
     def build(params, terrain) -> Optional["ObjectSet"]:
@@ -137,6 +139,7 @@ class ObjectSet:
             tex_id=jnp.asarray(tex_id), textures=jnp.asarray(atlas),
             tex_hw=jnp.asarray(tex_hw), cull_r2=jnp.asarray(cull_r2),
             n_objects=n, seg_window=seg_window,
+            kinds_static=tuple(int(k) for k in kind),
         )
 
 
@@ -322,7 +325,7 @@ def object_hits_fast(
         seg_close = g_close[..., :-1] | g_close[..., 1:]  # [W, kw]
         seg_k = (k_idx[:, :-1]).astype(jnp.float32)  # [W, kw] global seg idx
 
-        is_frustum = bool(np.asarray(objects.kind[oi]) == 0)
+        is_frustum = objects.kinds_static[oi] == 0
         if is_frustum:
             props, normals_loc, valid = _frustum_hits(
                 p1, p2, objects.r1[oi], objects.r2[oi], objects.height[oi]
@@ -384,20 +387,147 @@ def object_hits_fast(
     return result
 
 
+def object_hits_pixelwise(
+    objects: ObjectSet,
+    model: EarthModel,
+    lat0: float,
+    lon0: float,
+    step: float,
+    n_terr: int,
+    ray_h: jnp.ndarray,  # [P, n_terr] per-pixel ray altitudes
+    path_len: jnp.ndarray,  # [P, n_terr]
+    dir_deg: jnp.ndarray,  # [P] per-pixel azimuth (degrees)
+    k_per_object: int = 2,
+) -> HitBuffer:
+    """Object hits for P independent rays (Rectilinear generator).
+
+    Same semantics as object_hits_fast, but each pixel owns its geodesic:
+    the culling window start is found by a coarse closed-form distance scan
+    (the object's along-track window is tiny, so the scan runs at 4× the
+    march step), then ``seg_window`` segments are tested exactly.
+    """
+    p_n, n_path = ray_h.shape
+    stride = 4
+    # the coarse scan (with its stride·step margin) can flag up to `margin`
+    # before the true close region, so the exact window spans the margin on
+    # both sides plus the close-region chord
+    kw = objects.seg_window + 2 * stride + 2
+    dir_col = dir_deg[:, None]
+
+    result: Optional[HitBuffer] = None
+    for oi in range(objects.n_objects):
+        o_dlat = objects.dlat[oi]
+        o_dlon = objects.dlon[oi]
+        o_elev = objects.elev[oi]
+        n_coarse = -(-n_terr // stride)
+        dists_c = (jnp.arange(n_coarse, dtype=jnp.float32) * stride) * step
+        dl_c, dn_c = model.geodesic_delta(lat0, lon0, dir_col, dists_c[None, :])
+        rel_c = model.enu_rel(
+            dl_c, dn_c, jnp.broadcast_to(o_elev, dl_c.shape),
+            o_dlat, o_dlon, o_elev, lat0,
+        )
+        # widen the coarse test so a stride can't step over the close region
+        margin = jnp.float32(stride * step)
+        d2_c = rel_c[..., 0] ** 2 + rel_c[..., 1] ** 2 + rel_c[..., 2] ** 2
+        close_c = d2_c < (jnp.sqrt(objects.cull_r2[oi]) + margin) ** 2
+        any_close = close_c.any(axis=1)
+        first_c = jnp.where(any_close, jnp.argmax(close_c, axis=1), n_coarse)
+        k_lo = jnp.clip(first_c * stride - stride - 1, 0, max(n_terr - kw - 2, 0))
+
+        offs = jnp.arange(kw + 1)
+        k_idx = jnp.minimum(k_lo[:, None] + offs[None, :], n_terr - 1)  # [P, kw+1]
+        dists_w = k_idx.astype(jnp.float32) * step
+        dl_w, dn_w = model.geodesic_delta(lat0, lon0, dir_col, dists_w)
+        rh = jnp.take_along_axis(ray_h, k_idx, axis=1)  # [P, kw+1]
+        p = model.enu_rel(dl_w, dn_w, rh, o_dlat, o_dlon, o_elev, lat0)
+        p1, p2 = p[..., :-1, :], p[..., 1:, :]
+        # exact culling at the window points (terrain-point test at obj elev)
+        rel_w = model.enu_rel(
+            dl_w, dn_w, jnp.broadcast_to(o_elev, dl_w.shape),
+            o_dlat, o_dlon, o_elev, lat0,
+        )
+        d2_w = (rel_w * rel_w).sum(-1)
+        g_close = d2_w < objects.cull_r2[oi]
+        seg_close = g_close[..., :-1] | g_close[..., 1:]
+        seg_k = k_idx[:, :-1].astype(jnp.float32)
+
+        if objects.kinds_static[oi] == 0:
+            props, normals_loc, valid = _frustum_hits(
+                p1, p2, objects.r1[oi], objects.r2[oi], objects.height[oi]
+            )  # [P, kw, 4]
+            rgba = jnp.broadcast_to(objects.rgba[oi], props.shape + (4,))
+        else:
+            prop, front, u, v, ok = _billboard_hit(
+                p1, p2, objects.width[oi], objects.height[oi]
+            )
+            texed = _sample_texture(
+                objects.textures, objects.tex_hw, objects.tex_id[oi], u, v
+            )
+            has_tex = objects.tex_id[oi] >= 0
+            rgba1 = jnp.where(
+                has_tex, texed, jnp.broadcast_to(objects.rgba[oi], texed.shape)
+            )
+            props = prop[..., None]
+            normals_loc = front[..., None, :]
+            valid = ok[..., None]
+            rgba = rgba1[..., None, :]
+
+        valid = valid & seg_close[..., None] & (rgba[..., 3] > 0.0)
+        keys = jnp.where(
+            valid, seg_k[..., None] + jnp.clip(props, 0.0, 0.999999), NO_HIT
+        ).reshape(p_n, -1)
+        neg_top, top_idx = jax.lax.top_k(-keys, k_per_object)
+        sel_keys = -neg_top
+        flat_n = keys.shape[-1]
+        sel_norm_loc = jnp.take_along_axis(
+            normals_loc.reshape(p_n, flat_n, 3), top_idx[..., None], axis=1
+        )
+        sel_rgba = jnp.take_along_axis(
+            rgba.reshape(p_n, flat_n, 4), top_idx[..., None], axis=1
+        )
+        sel_valid = jnp.isfinite(sel_keys)
+        sel_norm = jnp.einsum("pkc,cd->pkd", sel_norm_loc, objects.basis[oi])
+
+        from .combine import gather_ray_field
+
+        safe = jnp.where(sel_valid, sel_keys, 0.0)
+        kk = jnp.floor(safe)
+        pp = safe - kk
+        dl1, dn1 = model.geodesic_delta(lat0, lon0, dir_col, kk * step)
+        dl2, dn2 = model.geodesic_delta(lat0, lon0, dir_col, (kk + 1.0) * step)
+        hb = HitBuffer(
+            valid=sel_valid,
+            key=sel_keys,
+            dlat=dl1 * (1 - pp) + dl2 * pp,
+            dlon=dn1 * (1 - pp) + dn2 * pp,
+            distance=safe * jnp.float32(step),
+            elevation=gather_ray_field(ray_h, safe),
+            path_length=gather_ray_field(path_len, safe),
+            normal=sel_norm,
+            kind=jnp.ones(sel_keys.shape, jnp.int32),
+            rgba=sel_rgba,
+        )
+        result = hb if result is None else merge_hits(
+            result, hb, result.key.shape[-1] + k_per_object
+        )
+    return result
+
+
 def merge_hits(a: HitBuffer, b: HitBuffer, k_out: int) -> HitBuffer:
-    """Merge two hit buffers, keeping the k_out earliest by key."""
-    def cat(x, y):
-        return jnp.concatenate([x, y], axis=2)
+    """Merge two hit buffers (shape [..., K(,D)]), keep k_out earliest by key."""
+    def cat(x, y, vec=False):
+        return jnp.concatenate([x, y], axis=-2 if vec else -1)
 
     keys = cat(a.key, b.key)
     keys = jnp.where(cat(a.valid, b.valid), keys, NO_HIT)
     order = jnp.argsort(keys, axis=-1)[..., :k_out]
     skeys = jnp.take_along_axis(keys, order, axis=-1)
 
-    def pick(xa, xb, extra_dim=False):
-        m = cat(xa, xb)
-        idx = order[..., None] if extra_dim else order
-        return jnp.take_along_axis(m, idx, axis=2 if not extra_dim else 2)
+    def pick(xa, xb):
+        return jnp.take_along_axis(cat(xa, xb), order, axis=-1)
+
+    def pick_vec(xa, xb):
+        return jnp.take_along_axis(cat(xa, xb, vec=True), order[..., None], axis=-2)
 
     return HitBuffer(
         valid=jnp.isfinite(skeys),
@@ -407,7 +537,7 @@ def merge_hits(a: HitBuffer, b: HitBuffer, k_out: int) -> HitBuffer:
         distance=pick(a.distance, b.distance),
         elevation=pick(a.elevation, b.elevation),
         path_length=pick(a.path_length, b.path_length),
-        normal=jnp.take_along_axis(cat(a.normal, b.normal), order[..., None], axis=2),
+        normal=pick_vec(a.normal, b.normal),
         kind=pick(a.kind, b.kind),
-        rgba=jnp.take_along_axis(cat(a.rgba, b.rgba), order[..., None], axis=2),
+        rgba=pick_vec(a.rgba, b.rgba),
     )

@@ -1,0 +1,202 @@
+"""Multi-chip scaling: column-sharded frames + frame-sharded batched sweeps.
+
+The reference's parallelism is rayon work-stealing over pixels on one node
+(SURVEY §2b); the honest multi-chip analog is pure data parallelism over ICI:
+
+* ``render_fast_sharded`` — one frame, azimuth columns sharded across the
+  mesh. The terrain tensor [W, N], the combine [H, W] and all hit gathers
+  partition cleanly on W; the path tensor [H, N] and the terrain mosaic are
+  replicated (tiles are ~MBs; replication is cheap at panorama scales,
+  SURVEY §5). Zero cross-shard communication except the output gather.
+* ``render_sweep_sharded`` — a batched 360° sweep (BASELINE configs[4]):
+  frames vary by direction/tilt/altitude, vmapped into one launch and
+  sharded frame-wise (data parallelism) across the mesh.
+
+Both are expressed with ``jax.sharding.NamedSharding`` constraints and rely
+on XLA SPMD to insert any collectives — no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Params
+from ..generators import fast as fast_mod
+from ..generators.base import RenderResult
+from ..models import camera
+from ..ops.objects import ObjectSet
+from ..terrain.store import Terrain
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "x") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def _pad_to_multiple(arr: np.ndarray, mult: int):
+    w = arr.shape[0]
+    pad = (-w) % mult
+    if pad:
+        arr = np.concatenate([arr, arr[-1] + np.arange(1, pad + 1) * 1e-4])
+    return arr, w
+
+
+def render_fast_sharded(
+    params: Params,
+    terrain: Terrain,
+    mesh: Mesh,
+    max_hits: Optional[int] = None,
+) -> RenderResult:
+    """Fast render with azimuth columns sharded over the mesh axis."""
+    out = params.output
+    frame = params.view.frame
+    pos = params.view.position
+    alt0 = pos.abs_altitude(terrain)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    elev_deg = camera.fast_ray_elevations(out.width, out.height, frame.fov, frame.tilt)
+    az_deg = camera.fast_ray_azimuths(out.width, out.height, frame.fov, frame.direction)
+    az_padded, true_w = _pad_to_multiple(az_deg.astype(np.float32), n_dev)
+
+    lat_rng, lon_rng = fast_mod.terrain_bbox(params)
+    pack = terrain.pack(lat_rng, lon_rng)
+    table = fast_mod.build_refraction_table(params, alt0)
+    n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
+    if max_hits is None:
+        max_hits = 1 if params.terrain_alpha >= 1.0 else 4
+    objset = ObjectSet.build(params, terrain) if params.objects else None
+
+    col_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    core = functools.partial(
+        fast_mod.fast_core,
+        model=params.model,
+        shape=params.model.to_shape(),
+        straight=params.straight_rays,
+        step=float(params.simulation_step),
+        n_terr=n_terr,
+        max_hits=int(max_hits),
+        lat0=float(pos.latitude),
+        lon0=float(pos.longitude),
+        coloring=params.coloring,
+        fog_distance=params.view.fog_distance,
+        terrain_alpha=float(params.terrain_alpha),
+    )
+
+    pack_r = jax.device_put(pack, repl)
+    table_r = jax.device_put(table, repl)
+    obj_r = jax.device_put(objset, repl) if objset is not None else None
+    elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
+    az_s = jax.device_put(jnp.asarray(az_padded), col_sharding)
+
+    jitted = jax.jit(lambda pk, tb, ob, el, az: core(pk, tb, ob, el, az, float(alt0)))
+    image, hits = jitted(pack_r, table_r, obj_r, elev_r, az_s)
+
+    image = np.asarray(image)[:, :true_w]
+    hits = jax.tree.map(lambda x: np.asarray(x)[:, :true_w], hits)
+    return RenderResult(
+        image=image,
+        hits=hits,
+        elevation_deg=elev_deg,
+        azimuth_deg=camera.wrap_azimuth_deg(az_deg),
+        observer=(pos.latitude, pos.longitude, alt0),
+    )
+
+
+def render_sweep_sharded(
+    params: Params,
+    terrain: Terrain,
+    mesh: Mesh,
+    directions_deg: Sequence[float],
+    altitudes_m: Optional[Sequence[float]] = None,
+    max_hits: Optional[int] = None,
+):
+    """Batched sweep: F frames over (direction, altitude), frame-sharded.
+
+    Returns images [F, H, W, 3] uint8 (hits are kept on device and dropped —
+    a sweep's product is the frames; per-frame metadata re-renders use
+    render_fast on the chosen frame).
+    """
+    out = params.output
+    frame = params.view.frame
+    pos = params.view.position
+    alt_base = pos.abs_altitude(terrain)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    dirs = np.asarray(list(directions_deg), np.float32)
+    f = len(dirs)
+    if altitudes_m is None:
+        alts = np.full(f, alt_base, np.float32)
+    else:
+        alts = np.asarray(list(altitudes_m), np.float32)
+        assert len(alts) == f
+    pad = (-f) % n_dev
+    if pad:
+        dirs = np.concatenate([dirs, np.repeat(dirs[-1:], pad)])
+        alts = np.concatenate([alts, np.repeat(alts[-1:], pad)])
+
+    elev_deg = camera.fast_ray_elevations(out.width, out.height, frame.fov, frame.tilt)
+    az_rel = camera.fast_ray_azimuths(out.width, out.height, frame.fov, 0.0)
+    az_frames = dirs[:, None] + az_rel[None, :].astype(np.float32)  # [F, W]
+
+    lat_rng, lon_rng = fast_mod.terrain_bbox(params)
+    # widen the bbox: a sweep looks in every direction
+    d_deg = frame.max_distance / 90_000.0 + 0.1
+    lat_rng = (pos.latitude - d_deg, pos.latitude + d_deg)
+    coslat = max(0.2, math.cos(math.radians(pos.latitude)))
+    lon_rng = (pos.longitude - d_deg / coslat, pos.longitude + d_deg / coslat)
+    pack = terrain.pack(lat_rng, lon_rng)
+    table = fast_mod.build_refraction_table(params, float(alts.max()))
+    n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
+    if max_hits is None:
+        max_hits = 1 if params.terrain_alpha >= 1.0 else 4
+    objset = ObjectSet.build(params, terrain) if params.objects else None
+
+    core = functools.partial(
+        fast_mod.fast_core,
+        model=params.model,
+        shape=params.model.to_shape(),
+        straight=params.straight_rays,
+        step=float(params.simulation_step),
+        n_terr=n_terr,
+        max_hits=int(max_hits),
+        lat0=float(pos.latitude),
+        lon0=float(pos.longitude),
+        coloring=params.coloring,
+        fog_distance=params.view.fog_distance,
+        terrain_alpha=float(params.terrain_alpha),
+    )
+
+    # per-frame light vector: the Shading light direction is anchored to the
+    # view direction (params.rs:252-258), so each sweep frame gets its own.
+    import dataclasses as _dc
+
+    lights = []
+    for d in dirs:
+        frame_d = _dc.replace(frame, direction=float(d))
+        col = params.view.coloring.into_coloring(frame_d, pos, params.model)
+        lights.append(col.light_dir if col.light_dir is not None else (0.0, 0.0, 1.0))
+    lights = np.asarray(lights, np.float32)  # [F, 3]
+
+    def one_frame(az_row, alt, light):
+        image, _hits = core(pack, table, objset,
+                            jnp.asarray(elev_deg, jnp.float32), az_row, alt,
+                            light_dir=light)
+        return image
+
+    frames_sharding = NamedSharding(mesh, P(axis))
+    az_dev = jax.device_put(jnp.asarray(az_frames), frames_sharding)
+    alt_dev = jax.device_put(jnp.asarray(alts), frames_sharding)
+    light_dev = jax.device_put(jnp.asarray(lights), frames_sharding)
+    images = jax.jit(jax.vmap(one_frame))(az_dev, alt_dev, light_dev)
+    return np.asarray(images)[:f]

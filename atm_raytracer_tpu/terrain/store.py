@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import dted, geotiff
+from . import dted, geotiff, native
 
 
 @dataclasses.dataclass
@@ -58,6 +58,13 @@ class Tile:
 
 
 def _load_tile(path: Path, lat0: int, lon0: int) -> Tile:
+    if native.available():
+        info = native.probe(path)
+        if info is not None:
+            _, _, n_lat, n_lon = info
+            res = native.load_batch([path], n_lat, n_lon)
+            if res is not None and res[2][0] == 0:
+                return Tile(lat0=lat0, lon0=lon0, elev=res[0][0])
     try:
         hdr, elev = dted.read_dted(path)
         return Tile(lat0=lat0, lon0=lon0, elev=elev)
@@ -86,6 +93,10 @@ class Terrain:
             t.buffer_file(p)
         print(f"Detected {files} terrain files")
         return t
+
+    def add_tile(self, tile: Tile) -> None:
+        """Register an in-memory tile (synthetic terrain, benchmarks)."""
+        self._loaded[(tile.lat0, tile.lon0)] = tile
 
     def buffer_file(self, path) -> None:
         path = Path(path)

@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Benchmark: 1920×1080, 200 km, 50 m-step refraction panorama on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: Mray-steps/sec/chip, counting the reference's cost model of
+W·H·(max_distance/step) per-pixel march iterations (BASELINE.md): the Fast
+pipeline does the equivalent work as (H+W) real marches plus the dense H×W×N
+crossing combine, which is the same iteration count the Rust reference runs
+per pixel. vs_baseline = north-star wall-clock (1.0 s, BASELINE.json) divided
+by measured wall-clock — >1 beats the target.
+
+Terrain: synthetic analytic hills on a 5×7 mosaic of 1201-post tiles built
+in memory (the reference needs user-supplied USGS downloads; capability-
+equivalent data path: same mosaic pack + device gathers).
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def build_terrain(lat0, lon0, reach_deg_lat, reach_deg_lon, n_posts=1201):
+    sys.path.insert(0, "tests")
+    from fixtures import analytic_hills
+    from atm_raytracer_tpu.terrain.store import Terrain, Tile
+
+    terrain = Terrain()
+    for la in range(int(math.floor(lat0 - reach_deg_lat)), int(math.floor(lat0 + reach_deg_lat)) + 1):
+        for lo in range(int(math.floor(lon0 - reach_deg_lon)), int(math.floor(lon0 + reach_deg_lon)) + 1):
+            lats = la + np.arange(n_posts) / (n_posts - 1)
+            lons = lo + np.arange(n_posts) / (n_posts - 1)
+            grid = analytic_hills(lats[:, None], lons[None, :]).astype(np.float32)
+            terrain.add_tile(Tile(lat0=la, lon0=lo, elev=grid))
+    return terrain
+
+
+def main():
+    import jax
+
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.fast import (
+        build_refraction_table,
+        fast_core,
+        terrain_bbox,
+    )
+    from atm_raytracer_tpu.models import camera
+    import functools
+    import jax.numpy as jnp
+
+    width, height = 1920, 1080
+    max_distance = 200_000.0
+    step = 50.0
+    lat0, lon0 = 49.5, 21.5
+
+    config = Config.from_dict(
+        {
+            "view": {
+                "position": {
+                    "latitude": lat0,
+                    "longitude": lon0,
+                    "altitude": {"Relative": 100.0},
+                },
+                "frame": {"direction": 45.0, "fov": 40.0,
+                          "max_distance": max_distance},
+            },
+            "simulation_step": step,
+            "output": {"width": width, "height": height},
+        }
+    )
+    terrain = build_terrain(lat0, lon0, 2.0, 3.0)
+    params = config.into_params(terrain)
+    alt0 = params.view.position.abs_altitude(terrain)
+
+    elev_deg = camera.fast_ray_elevations(width, height, 40.0, 0.0)
+    az_deg = camera.fast_ray_azimuths(width, height, 40.0, 45.0)
+    lat_rng, lon_rng = terrain_bbox(params)
+    pack = terrain.pack(lat_rng, lon_rng)
+    table = build_refraction_table(params, alt0)
+    n_terr = int(math.ceil(max_distance / step))
+
+    core = functools.partial(
+        fast_core,
+        model=params.model,
+        shape=params.model.to_shape(),
+        straight=False,
+        step=step,
+        n_terr=n_terr,
+        max_hits=1,
+        lat0=lat0,
+        lon0=lon0,
+        coloring=params.coloring,
+        fog_distance=None,
+        terrain_alpha=1.0,
+    )
+    jitted = jax.jit(lambda el, az: core(pack, table, None, el, az, float(alt0)))
+    el = jnp.asarray(elev_deg, jnp.float32)
+    az = jnp.asarray(az_deg, jnp.float32)
+
+    # warmup / compile
+    image, _ = jitted(el, az)
+    image.block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        image, _hits = jitted(el, az)
+        image.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+
+    ray_steps = width * height * (max_distance / step)
+    mray_per_sec = ray_steps / wall / 1e6
+    north_star_wall = 1.0  # BASELINE.json: ≤1 s on one chip
+    print(
+        json.dumps(
+            {
+                "metric": "mray_steps_per_sec_per_chip",
+                "value": round(mray_per_sec, 2),
+                "unit": f"Mray-steps/s (1080p 200km 50m wall={wall:.3f}s)",
+                "vs_baseline": round(north_star_wall / wall, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

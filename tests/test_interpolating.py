@@ -1,0 +1,89 @@
+"""InterpolatingRectilinear: grid snapping + 16-case interpolation oracles.
+
+The reference documents this generator as a faster, slightly-less-accurate
+Rectilinear (README.md:277); so the cross-check oracle is closeness to the
+exact Rectilinear render (SURVEY §4).
+"""
+
+import numpy as np
+import pytest
+
+from fixtures import make_terrain_folder
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    d = tmp_path_factory.mktemp("terrain_interp")
+    make_terrain_folder(d, tiles=((49, 21),), n=241)
+    config = Config.from_dict(
+        {
+            "view": {
+                "position": {
+                    "latitude": 49.5,
+                    "longitude": 21.5,
+                    "altitude": {"Relative": 40.0},
+                },
+                "frame": {"direction": 50.0, "fov": 8.0, "max_distance": 10000.0},
+            },
+            "simulation_step": 50.0,
+            "output": {"width": 40, "height": 28},
+        }
+    )
+    terrain = Terrain.from_folder(d)
+    return config, terrain, config.into_params(terrain)
+
+
+def test_fov_data_matches_reference_rules():
+    from atm_raytracer_tpu.generators.interpolating import gen_fov_data
+
+    elev, dirr, min_es, min_ds = gen_fov_data(64, 48, 20.0, 0.0, 90.0)
+    # steps are 1.5x a per-pixel delta, bounded below by fov/width/3 * 1.5
+    per_px = np.deg2rad(20.0) / 64
+    assert min_es >= per_px / 3.0 * 1.5 - 1e-12
+    assert min_es <= per_px * 1.6
+    assert min_ds >= per_px / 3.0 * 1.5 - 1e-12
+    assert min_ds <= per_px * 1.6
+
+
+def test_interpolating_close_to_rectilinear(setup):
+    from atm_raytracer_tpu.generators.interpolating import render_interpolating
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    interp = render_interpolating(params, terrain)
+    rect = render_rectilinear(params, terrain, chunk_rows=14)
+    assert interp.image.shape == rect.image.shape
+    # sky/terrain split agreement
+    agree = (interp.hits.valid.any(-1)) == (rect.hits.valid.any(-1))
+    assert agree.mean() > 0.93, agree.mean()
+    # distances close where both hit (first hit)
+    both = interp.hits.valid[..., 0] & rect.hits.valid[..., 0]
+    dd = np.abs(interp.hits.distance[..., 0] - rect.hits.distance[..., 0])[both]
+    assert np.median(dd) < 150.0
+    # image colors close (u8 space) for the overwhelming majority of pixels
+    diff = np.abs(interp.image.astype(int) - rect.image.astype(int)).max(-1)
+    assert (diff <= 8).mean() > 0.9, (diff <= 8).mean()
+
+
+def test_interpolating_angles_bilinear(setup):
+    from atm_raytracer_tpu.generators.interpolating import (
+        gen_fov_data,
+        render_interpolating,
+    )
+
+    config, terrain, params = setup
+    res = render_interpolating(params, terrain)
+    out = params.output
+    elev, dirr, min_es, min_ds = gen_fov_data(
+        out.width, out.height, params.view.frame.fov,
+        params.view.frame.tilt, params.view.frame.direction,
+    )
+    # the interpolated angle grid approximates the true camera angles to
+    # within one grid cell
+    err_e = np.abs(np.deg2rad(res.elevation_deg) - elev)
+    err_d = np.abs(np.deg2rad(res.azimuth_deg) - dirr)
+    assert err_e.max() < min_es * 1.01
+    assert err_d.max() < min_ds * 1.01

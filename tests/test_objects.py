@@ -1,0 +1,228 @@
+"""Scene objects: cylinders/cones/billboards against the Fast generator.
+
+Reference semantics under test: analytic frustum intersection
+(object/frustum.rs), billboard texture sampling with alpha
+(object/billboard.rs, object/mod.rs:89-118), culling (is_close), opaque
+occlusion ordering (utils.rs:241-284).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import make_terrain_folder, analytic_hills
+
+LAT0, LON0 = 49.5, 21.5
+M_PER_DEG = 111_194.9  # spherical meters per degree (R=6371km)
+
+
+def _make_params(tmp_path, terrain_dir, objects, **over):
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    cfg = {
+        "scene": {"terrain_folder": str(terrain_dir), "objects": objects},
+        "view": {
+            "position": {
+                "latitude": LAT0,
+                "longitude": LON0,
+                "altitude": {"Relative": 20.0},
+            },
+            "frame": {"direction": 0.0, "fov": 10.0, "max_distance": 5000.0},
+            "coloring": {"Shading": {"water_level": -500.0, "ambient_light": 1.0}},
+        },
+        "simulation_step": 25.0,
+        "output": {"width": 96, "height": 64},
+    }
+    cfg.update(over)
+    config = Config.from_dict(cfg)
+    terrain = Terrain.from_folder(terrain_dir)
+    return config, terrain, config.into_params(terrain)
+
+
+@pytest.fixture(scope="module")
+def terrain_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("terrain_obj")
+    return make_terrain_folder(d, tiles=((49, 21),), n=241)
+
+
+def _object_north(dist_m, shape, color, alt=("Relative", 0.0)):
+    """An object dist_m north of the observer."""
+    return {
+        "position": {
+            "latitude": LAT0 + dist_m / M_PER_DEG,
+            "longitude": LON0,
+            "altitude": {alt[0]: alt[1]},
+        },
+        "color": color,
+        "shape": shape,
+    }
+
+
+def test_cylinder_visible_with_correct_color_and_distance(tmp_path, terrain_dir):
+    from atm_raytracer_tpu.generators import render_fast
+
+    dist = 1500.0
+    objects = [
+        _object_north(
+            dist,
+            {"Cylinder": {"radius": 20.0, "height": 120.0}},
+            {"r": 0.8, "g": 0.1, "b": 0.1},
+        )
+    ]
+    _, terrain, params = _make_params(tmp_path, terrain_dir, objects)
+    result = render_fast(params, terrain)
+    hits = result.hits
+    # object hits exist (kind == 1)
+    obj_mask = hits.valid & (hits.kind == 1)
+    assert obj_mask.any(), "cylinder produced no hits"
+    # they cluster near the center column (azimuth 0 = north)
+    ys, xs, ks = np.where(obj_mask)
+    assert abs(xs.mean() - 48) < 6
+    # hit distance ~ 1500 m (within a march step + radius)
+    d = hits.distance[obj_mask]
+    assert abs(np.median(d) - dist) < 60.0
+    # with ambient=1 the shading brightness is 1 → pixel = color exactly
+    py, px = ys[len(ys) // 2], xs[len(xs) // 2]
+    first_k = np.argmax(obj_mask[py, px])
+    if hits.valid[py, px, :first_k].any():
+        pass  # terrain in front at this pixel; find a clean one
+    np.testing.assert_array_equal(
+        result.image[ys[0], xs[0]],
+        np.trunc(np.array([0.8, 0.1, 0.1]) * 255),
+    )
+
+
+def test_cone_narrows_with_height(tmp_path, terrain_dir):
+    from atm_raytracer_tpu.generators import render_fast
+
+    objects = [
+        _object_north(
+            1000.0,
+            {"Cone": {"radius": 30.0, "height": 150.0}},
+            {"r": 0.0, "g": 0.0, "b": 1.0},
+        )
+    ]
+    _, terrain, params = _make_params(tmp_path, terrain_dir, objects)
+    result = render_fast(params, terrain)
+    obj = result.hits.valid & (result.hits.kind == 1)
+    per_row = obj.any(-1).sum(axis=1)  # object width in pixels per row
+    rows = np.where(per_row > 0)[0]
+    assert len(rows) >= 3
+    # the cone is wider near its base (lower rows = larger y index)
+    assert per_row[rows[-1]] >= per_row[rows[0]]
+
+
+def test_opaque_terrain_occludes_object(tmp_path, terrain_dir):
+    from atm_raytracer_tpu.generators import render_fast
+
+    # bury an object 300 m below the terrain: never visible
+    objects = [
+        _object_north(
+            1200.0,
+            {"Cylinder": {"radius": 15.0, "height": 50.0}},
+            {"r": 1.0, "g": 0.0, "b": 0.0},
+            alt=("Relative", -400.0),
+        )
+    ]
+    _, terrain, params = _make_params(tmp_path, terrain_dir, objects)
+    result = render_fast(params, terrain)
+    img = result.image.reshape(-1, 3)
+    reds = (img[:, 0] > 150) & (img[:, 1] < 60)
+    assert not reds.any()
+
+
+def test_translucent_object_blends(tmp_path, terrain_dir):
+    from atm_raytracer_tpu.generators import render_fast
+
+    objects = [
+        _object_north(
+            800.0,
+            {"Cylinder": {"radius": 25.0, "height": 200.0}},
+            {"r": 1.0, "g": 0.0, "b": 0.0, "a": 0.5},
+        )
+    ]
+    _, terrain, params = _make_params(tmp_path, terrain_dir, objects)
+    result = render_fast(params, terrain)
+    hits = result.hits
+    obj_mask = hits.valid & (hits.kind == 1)
+    assert obj_mask.any()
+    # find a pixel whose hits are ALL object hits (sky behind); a ray through
+    # a translucent cylinder crosses the front AND back surface, so fold the
+    # actual alpha chain front-to-back (renderer/mod.rs:395-411)
+    ys, xs, _ = np.where(obj_mask)
+    sky = np.trunc(np.array([0.23, 0.41, 0.55]) * 255)
+    red = np.trunc(np.array([1.0, 0.0, 0.0]) * 255)
+    found = False
+    for y, x in zip(ys, xs):
+        v = hits.valid[y, x]
+        if not (hits.kind[y, x][v] == 1).all():
+            continue
+        expected = np.zeros(3)
+        accum = 1.0
+        for k in np.where(v)[0]:
+            a = float(hits.rgba[y, x, k, 3])
+            expected += red * accum * a
+            accum *= 1.0 - a
+        expected += sky * accum
+        np.testing.assert_allclose(result.image[y, x], np.trunc(expected), atol=2.0)
+        found = True
+        break
+    assert found, "no sky-backed translucent pixel found"
+
+
+def test_billboard_texture_and_transparency(tmp_path, terrain_dir):
+    from PIL import Image
+    from atm_raytracer_tpu.generators import render_fast
+
+    # texture: left half green opaque, right half fully transparent
+    tex = np.zeros((8, 8, 4), np.uint8)
+    tex[:, :4] = (0, 255, 0, 255)
+    tex_path = tmp_path / "tex.png"
+    Image.fromarray(tex, "RGBA").save(tex_path)
+
+    objects = [
+        _object_north(
+            600.0,
+            {"Billboard": {"width": 60.0, "height": 60.0,
+                           "texture_path": str(tex_path)}},
+            {"r": 0.5, "g": 0.0, "b": 0.0},  # color unused for billboards
+        )
+    ]
+    _, terrain, params = _make_params(tmp_path, terrain_dir, objects)
+    result = render_fast(params, terrain)
+    hits = result.hits
+    obj_mask = np.asarray(hits.valid & (hits.kind == 1))
+    assert obj_mask.any(), "billboard produced no hits"
+    ys, xs, ks = np.where(obj_mask)
+    # fully transparent texels are skipped (utils.rs:258-259); bilinear
+    # sampling across the opaque/transparent seam yields fractional alphas
+    alphas = hits.rgba[..., 3][obj_mask]
+    assert (alphas > 0.0).all()
+    assert (alphas > 0.99).any()
+    # green pixels appear; they sit left of the billboard center
+    greens = (result.image[..., 1] > 150) & (result.image[..., 0] < 100)
+    assert greens.any()
+    gy, gx = np.where(greens)
+    assert gx.mean() < 48  # left half (center column = 48)
+
+
+def test_object_on_earth_models(tmp_path, terrain_dir):
+    # the object pipeline works on flat-family models too
+    from atm_raytracer_tpu.generators import render_fast
+
+    objects = [
+        _object_north(
+            1000.0,
+            {"Cylinder": {"radius": 20.0, "height": 100.0}},
+            {"r": 0.9, "g": 0.9, "b": 0.0},
+        )
+    ]
+    for shape in ("FlatDistorted", "AzimuthalEquidistant"):
+        _, terrain, params = _make_params(
+            tmp_path, terrain_dir, objects, earth_shape=shape
+        )
+        result = render_fast(params, terrain)
+        assert (result.hits.valid & (result.hits.kind == 1)).any(), shape

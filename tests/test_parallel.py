@@ -1,0 +1,80 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh.
+
+Correctness bar: the sharded render is bit-identical to the single-chip one
+(pure data parallelism, no cross-shard communication — SURVEY §5).
+"""
+
+import numpy as np
+import pytest
+
+from fixtures import make_terrain_folder
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    d = tmp_path_factory.mktemp("terrain_par")
+    make_terrain_folder(d, tiles=((49, 21),), n=241)
+    config = Config.from_dict(
+        {
+            "view": {
+                "position": {
+                    "latitude": 49.5,
+                    "longitude": 21.5,
+                    "altitude": {"Relative": 25.0},
+                },
+                "frame": {"direction": 30.0, "fov": 18.0, "max_distance": 8000.0},
+            },
+            "simulation_step": 100.0,
+            "output": {"width": 72, "height": 40},  # W=72 not divisible by 8
+        }
+    )
+    terrain = Terrain.from_folder(d)
+    return config, terrain, config.into_params(terrain)
+
+
+def test_sharded_matches_single_chip(setup):
+    import jax
+
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_fast_sharded
+
+    config, terrain, params = setup
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    single = render_fast(params, terrain)
+    mesh = make_mesh()
+    sharded = render_fast_sharded(params, terrain, mesh)
+    np.testing.assert_array_equal(sharded.image, single.image)
+    np.testing.assert_array_equal(sharded.hits.valid, single.hits.valid)
+    np.testing.assert_allclose(
+        sharded.hits.distance, single.hits.distance, atol=1e-3
+    )
+
+
+def test_sweep_frames_match_individual_renders(setup):
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
+
+    config, terrain, params = setup
+    mesh = make_mesh()
+    dirs = [0.0, 45.0, 90.0, 135.0, 180.0]  # 5 frames on 8 devices (padded)
+    frames = render_sweep_sharded(params, terrain, mesh, dirs)
+    assert frames.shape == (5, 40, 72, 3)
+    # frame 1 must equal a fresh single render pointed at 45°
+    config.view.frame.direction = 45.0
+    params45 = config.into_params(terrain)
+    single = render_fast(params45, terrain)
+    np.testing.assert_array_equal(frames[1], single.image)
+
+
+def test_graft_entry_contract():
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (48, 64, 3)
+    g.dryrun_multichip(8)

@@ -1,0 +1,139 @@
+"""Rectilinear generator: pinhole camera math + cross-generator consistency.
+
+The reference documents Rectilinear as the exact ground truth and Fast as its
+small-FoV approximation (README.md:273-279) — so at the image center (where
+both cameras agree exactly) the hits must match, and across a small FoV they
+must agree closely (SURVEY §4 cross-checks).
+"""
+
+import numpy as np
+import pytest
+
+from fixtures import make_terrain_folder
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    d = tmp_path_factory.mktemp("terrain_rect")
+    make_terrain_folder(d, tiles=((49, 21),), n=241)
+    config = Config.from_dict(
+        {
+            "view": {
+                "position": {
+                    "latitude": 49.5,
+                    "longitude": 21.5,
+                    "altitude": {"Relative": 40.0},
+                },
+                "frame": {"direction": 50.0, "fov": 6.0, "max_distance": 12000.0,
+                          "tilt": 0.0},
+            },
+            "simulation_step": 50.0,
+            "output": {"width": 48, "height": 32},
+        }
+    )
+    terrain = Terrain.from_folder(d)
+    return config, terrain, config.into_params(terrain)
+
+
+def test_camera_center_pixel_exact():
+    from atm_raytracer_tpu.models.camera import rectilinear_ray_params
+
+    elev, dirr = rectilinear_ray_params(64, 48, 20.0, tilt=3.0, direction=120.0)
+    assert np.rad2deg(elev[24, 32]) == pytest.approx(3.0, abs=1e-9)
+    assert np.rad2deg(dirr[24, 32]) == pytest.approx(120.0, abs=1e-9)
+    # corners bend: constant-elevation rows are curved for a pinhole
+    assert elev[0, 0] != elev[0, 32]
+
+
+def test_camera_against_reference_formula():
+    # independent transcription of rectilinear.rs:78-100 using explicit
+    # rotation matrices
+    from atm_raytracer_tpu.models.camera import rectilinear_ray_params
+
+    w, h, fov, tilt, direction = 16, 12, 25.0, -2.0, 200.0
+    elev, dirr = rectilinear_ray_params(w, h, fov, tilt, direction)
+    z = w / 2.0 / np.tan(np.deg2rad(fov) / 2.0)
+    yaw, pitch = np.deg2rad(direction), -np.deg2rad(tilt)
+    ry = np.array([
+        [np.cos(pitch), 0, np.sin(pitch)],
+        [0, 1, 0],
+        [-np.sin(pitch), 0, np.cos(pitch)],
+    ])
+    rz = np.array([
+        [np.cos(yaw), -np.sin(yaw), 0],
+        [np.sin(yaw), np.cos(yaw), 0],
+        [0, 0, 1],
+    ])
+    for (px, py) in [(0, 0), (15, 11), (8, 6), (3, 9)]:
+        v = np.array([z, px - w // 2, -(py - h // 2)], np.float64)
+        v = v / np.linalg.norm(v)
+        d = rz @ ry @ v
+        assert np.arcsin(d[2]) == pytest.approx(elev[py, px], abs=1e-12)
+        assert np.arctan2(d[1], d[0]) == pytest.approx(dirr[py, px], abs=1e-12)
+
+
+def test_rectilinear_matches_fast_at_center(setup):
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    fast = render_fast(params, terrain)
+    rect = render_rectilinear(params, terrain, chunk_rows=16)
+    cy, cx = 16, 24  # H//2, W//2 — identical ray in both cameras
+    assert bool(rect.hits.valid[cy, cx, 0]) == bool(fast.hits.valid[cy, cx, 0])
+    if rect.hits.valid[cy, cx, 0]:
+        assert rect.hits.distance[cy, cx, 0] == pytest.approx(
+            fast.hits.distance[cy, cx, 0], abs=60.0
+        )
+        assert rect.hits.elevation[cy, cx, 0] == pytest.approx(
+            fast.hits.elevation[cy, cx, 0], abs=5.0
+        )
+
+
+def test_rectilinear_close_to_fast_small_fov(setup):
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    fast = render_fast(params, terrain)
+    rect = render_rectilinear(params, terrain, chunk_rows=16)
+    # same terrain/sky split within a small margin (edge pixels may differ)
+    agree = rect.hits.valid[..., 0] == fast.hits.valid[..., 0]
+    assert agree.mean() > 0.95
+    # where both hit, distances are close
+    both = rect.hits.valid[..., 0] & fast.hits.valid[..., 0]
+    dd = np.abs(rect.hits.distance[..., 0] - fast.hits.distance[..., 0])[both]
+    assert np.median(dd) < 100.0
+
+
+def test_rectilinear_objects(setup, tmp_path):
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    config, terrain, _ = setup
+    d = config.to_dict()
+    m_per_deg = 111_194.9
+    d["scene"]["objects"] = [
+        {
+            "position": {
+                "latitude": 49.5 + 800.0 / m_per_deg * np.cos(np.deg2rad(50.0)),
+                "longitude": 21.5
+                + 800.0 / m_per_deg * np.sin(np.deg2rad(50.0))
+                / np.cos(np.deg2rad(49.5)),
+                "altitude": {"Relative": 0.0},
+            },
+            "color": {"r": 1.0, "g": 0.0, "b": 0.0},
+            "shape": {"Cylinder": {"radius": 15.0, "height": 120.0}},
+        }
+    ]
+    config2 = Config.from_dict(d)
+    params2 = config2.into_params(terrain)
+    rect = render_rectilinear(params2, terrain, chunk_rows=16)
+    obj = rect.hits.valid & (rect.hits.kind == 1)
+    assert obj.any(), "object not seen by rectilinear generator"
+    ys, xs, _ = np.where(obj)
+    assert abs(xs.mean() - 24) < 6  # near the view direction

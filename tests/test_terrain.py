@@ -144,3 +144,49 @@ def test_normals_point_up_and_tilt_downhill(tmp_path):
     n0 = normal[0]
     got_slope = -(n0 @ north0) / (n0 @ up0)
     assert got_slope == pytest.approx(slope_north, rel=0.1, abs=5e-3)
+
+
+def test_gradient_normals_close_to_reference_mode(tmp_path):
+    from atm_raytracer_tpu.terrain import sample_terrain_data
+
+    make_terrain_folder(tmp_path, tiles=((49, 21),), n=241)
+    t = Terrain.from_folder(tmp_path)
+    pack = t.pack((49.0, 50.0), (21.0, 22.0))
+    model = EarthModel(kind="Spherical", radius=6371000.0)
+    rng = np.random.RandomState(1)
+    dlat = rng.uniform(0.05, 0.45, 200).astype(np.float32)
+    dlon = rng.uniform(0.05, 0.45, 200).astype(np.float32)
+    _, n_grad = sample_terrain_data(pack, model, dlat, dlon, 49.3, 21.3,
+                                    normal_mode="gradient")
+    _, n_ref = sample_terrain_data(pack, model, dlat, dlon, 49.3, 21.3,
+                                   normal_mode="reference")
+    # same direction within a few degrees (the ±15 m arms smooth over cell
+    # boundaries; the landscape is smooth at this resolution)
+    cos = (np.asarray(n_grad) * np.asarray(n_ref)).sum(-1)
+    assert (cos > 0.995).mean() > 0.95
+
+
+def test_native_loader_matches_python_parser(tmp_path):
+    from atm_raytracer_tpu.terrain import native
+
+    if not native.available():
+        import subprocess, pathlib
+        build = pathlib.Path("atm_raytracer_tpu/native/build.sh")
+        subprocess.run(["sh", str(build)], check=True)
+    assert native.available()
+    grid = tile_grid(49, 21, 121)
+    grid[3, 7] = -123  # signed magnitude path
+    p = tmp_path / "n49_e021.dt2"
+    write_dted(p, 49, 21, grid)
+    info = native.probe(p)
+    assert info == (49.0, 21.0, 121, 121)
+    tiles, origins, status = native.load_batch([p, p], 121, 121, max_threads=2)
+    assert (status == 0).all()
+    np.testing.assert_array_equal(origins, [[49, 21], [49, 21]])
+    _, expect = read_dted(p)
+    np.testing.assert_array_equal(tiles[0], expect)
+    np.testing.assert_array_equal(tiles[1], expect)
+    # non-DTED file probes as None
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"not a tile")
+    assert native.probe(junk) is None
