@@ -117,10 +117,17 @@ def separable_hits(
     safe_keys = jnp.where(valid, keys, 0.0)
 
     # 4. field gathers (TracingState::interpolate semantics, utils.rs:108-133)
-    hit_dlat = combine.gather_column_field(dlat, safe_keys)
-    hit_dlon = combine.gather_column_field(dlon, safe_keys)
-    hit_elev = combine.gather_column_field(terr_elev, safe_keys)
-    hit_normal = combine.gather_column_field(terr_normal, safe_keys)
+    # — one stacked gather pass instead of five (contiguous 6-float rows
+    # amortize the random-access cost ~5x)
+    stacked = jnp.concatenate(
+        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
+        axis=-1,
+    )  # [W, N, 6]
+    hit_stack = combine.gather_column_field(stacked, safe_keys)  # [H, W, K, 6]
+    hit_dlat = hit_stack[..., 0]
+    hit_dlon = hit_stack[..., 1]
+    hit_elev = hit_stack[..., 2]
+    hit_normal = hit_stack[..., 3:6]
     hit_plen = combine.gather_ray_field(path_len, safe_keys)
     hit_dist = safe_keys * jnp.float32(step)  # dist is linear in the key
 

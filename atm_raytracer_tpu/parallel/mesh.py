@@ -188,15 +188,22 @@ def render_sweep_sharded(
         lights.append(col.light_dir if col.light_dir is not None else (0.0, 0.0, 1.0))
     lights = np.asarray(lights, np.float32)  # [F, 3]
 
-    def one_frame(az_row, alt, light):
-        image, _hits = core(pack, table, objset,
-                            jnp.asarray(elev_deg, jnp.float32), az_row, alt,
-                            light_dir=light)
+    def one_frame(pk, tb, ob, el, az_row, alt, light):
+        image, _hits = core(pk, tb, ob, el, az_row, alt, light_dir=light)
         return image
 
     frames_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
     az_dev = jax.device_put(jnp.asarray(az_frames), frames_sharding)
     alt_dev = jax.device_put(jnp.asarray(alts), frames_sharding)
     light_dev = jax.device_put(jnp.asarray(lights), frames_sharding)
-    images = jax.jit(jax.vmap(one_frame))(az_dev, alt_dev, light_dev)
+    pack_r = jax.device_put(pack, repl)
+    table_r = jax.device_put(table, repl)
+    obj_r = jax.device_put(objset, repl) if objset is not None else None
+    elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
+    # pack/table as arguments (not captures): captured device arrays embed
+    # as HLO constants and serialize through the TPU tunnel at lowering
+    images = jax.jit(
+        jax.vmap(one_frame, in_axes=(None, None, None, None, 0, 0, 0))
+    )(pack_r, table_r, obj_r, elev_r, az_dev, alt_dev, light_dev)
     return np.asarray(images)[:f]

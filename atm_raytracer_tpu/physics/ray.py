@@ -201,8 +201,12 @@ def march_rays(
         return (h_new, v_new, plen), (h_new, plen)
 
     plen0 = jnp.zeros_like(alt)
+    # unroll=8 on TPU: the per-iteration state is a few [B] vectors, so loop
+    # overhead dominates an un-unrolled scan (~70 µs/step measured). On CPU
+    # (tests) the unroll only bloats compile time.
+    unroll = 8 if jax.default_backend() == "tpu" else 1
     (_, _, _), (hs, plens) = jax.lax.scan(
-        body, (alt, v0, plen0), None, length=n_steps
+        body, (alt, v0, plen0), None, length=n_steps, unroll=unroll
     )
     h_out = jnp.concatenate([alt[None], hs], axis=0)  # [N+1, B]
     p_out = jnp.concatenate([plen0[None], plens], axis=0)

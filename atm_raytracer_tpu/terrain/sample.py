@@ -67,10 +67,11 @@ def sample_elevation(
     s = pack.tiles.shape[1]
     flat = pack.tiles.reshape(-1)
     base = t * (s * s) + ri * s + ci
-    e00 = jnp.take(flat, base)
-    e10 = jnp.take(flat, base + s)
-    e01 = jnp.take(flat, base + 1)
-    e11 = jnp.take(flat, base + s + 1)
+    # tiles may be int16 (integer-meter terrain, half the gather bytes)
+    e00 = jnp.take(flat, base).astype(jnp.float32)
+    e10 = jnp.take(flat, base + s).astype(jnp.float32)
+    e01 = jnp.take(flat, base + 1).astype(jnp.float32)
+    e11 = jnp.take(flat, base + s + 1).astype(jnp.float32)
     elev = (
         e00 * (1 - rf) * (1 - cf)
         + e10 * rf * (1 - cf)

@@ -171,7 +171,15 @@ class Terrain:
             s = max(max(t.elev.shape) for t in tiles)
         else:
             s = 2
-        stack = np.zeros((max(len(tiles), 1), s, s), np.float32)
+        # integer-meter tiles (all DTED, most GeoTIFF) pack as int16 —
+        # halves gather bytes on device with zero precision loss
+        int_exact = all(
+            np.all(t.elev == np.round(t.elev))
+            and t.elev.min() >= -32768 and t.elev.max() < 32768
+            for t in tiles
+        ) if tiles else False
+        dtype = np.int16 if int_exact else np.float32
+        stack = np.zeros((max(len(tiles), 1), s, s), dtype)
         rows_m1 = np.ones((max(len(tiles), 1),), np.float32)
         cols_m1 = np.ones((max(len(tiles), 1),), np.float32)
         for i, (k, t) in enumerate(zip(keys, tiles)):

@@ -96,19 +96,29 @@ def main():
         fog_distance=None,
         terrain_alpha=1.0,
     )
-    jitted = jax.jit(lambda el, az: core(pack, table, None, el, az, float(alt0)))
+    # NOTE: pack/table must be jit ARGUMENTS — captured device arrays get
+    # embedded as HLO constants and serialized through the TPU tunnel at
+    # lowering time (~minutes for the 200 MB mosaic).
+    jitted = jax.jit(
+        lambda pk, tb, el, az: core(pk, tb, None, el, az, float(alt0))
+    )
     el = jnp.asarray(elev_deg, jnp.float32)
     az = jnp.asarray(az_deg, jnp.float32)
 
     # warmup / compile
-    image, _ = jitted(el, az)
-    image.block_until_ready()
+    image, _ = jitted(pack, table, el, az)
+    np.asarray(image)
 
+    # block_until_ready is unreliable over the remote-TPU tunnel (returns
+    # before execution); perturb inputs per run and force a device->host
+    # transfer of the image to measure true completion (transfer of the
+    # 6 MB u8 frame is ~10 ms, included — a real renderer pays it too).
     times = []
-    for _ in range(3):
+    for i in range(3):
+        el_i = el + np.float32(i) * np.float32(1e-7)
         t0 = time.perf_counter()
-        image, _hits = jitted(el, az)
-        image.block_until_ready()
+        image, _hits = jitted(pack, table, el_i, az)
+        np.asarray(image)
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
 
