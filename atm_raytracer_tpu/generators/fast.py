@@ -33,7 +33,7 @@ from ..models.earth import EarthModel
 from ..ops import combine, combine_pallas
 from ..ops.composite import composite
 from ..physics.ray import EarthShape, RefractionTable, march_rays
-from ..terrain.sample import sample_terrain_data
+from ..terrain.sample import sample_elevation, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult
 from ..ops.objects import ObjectSet, object_hits_fast, merge_hits
@@ -85,13 +85,20 @@ def separable_hits(
     Shared by the Fast generator (camera rows/columns) and the
     InterpolatingRectilinear generator (snapped angular grid)."""
     # 1. path cache: [H, n_terr] ray altitudes at x = k*step (march n_terr-1
-    # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174
+    # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174.
+    # Coarse RK4 + Hermite dense output caps the sequential chain at ~500m
+    # granularity (parity with fine-step: tests/test_ray.py).
+    coarse = int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
+        1, int(400.0 // step)
+    )
     ray_h, path_len = march_rays(
         alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
-        shape, table, straight,
+        shape, table, straight, coarse=coarse,
     )
 
-    # 2. terrain cache: geodesic per column × march step — utils.rs:176-199
+    # 2. terrain cache: geodesic per column × march step — utils.rs:176-199.
+    # Elevation + normal share the same 4 bilinear taps (gradient mode), so
+    # computing normals here is nearly free vs. re-gathering at hit points.
     dists = jnp.arange(n_terr, dtype=jnp.float32) * jnp.float32(step)
     dlat, dlon = model.geodesic_delta(
         lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]

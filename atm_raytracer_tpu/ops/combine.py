@@ -128,32 +128,42 @@ def terrain_crossing_keys(
 
 
 def gather_ray_field(field: jnp.ndarray, h_idx_keys: jnp.ndarray) -> jnp.ndarray:
-    """Lerp a per-ray field [H, N+1] at keys [H, W, K] (k + prop)."""
+    """Lerp a per-ray field [H, N+1] at keys [H, W, K] (k + prop).
+
+    Flattened single-take addressing (global index h·(N+1)+k) — one gather
+    for all rows beats a vmapped per-row gather on TPU.
+    """
     k = jnp.floor(h_idx_keys)
     prop = h_idx_keys - k
-    ki = jnp.clip(k, 0, field.shape[1] - 2).astype(jnp.int32)
-
-    def per_row(vals, idx):
-        lo = jnp.take(vals, idx)
-        hi = jnp.take(vals, idx + 1)
-        return lo, hi
-
-    lo, hi = jax.vmap(per_row)(field, ki)
+    n = field.shape[1]
+    ki = jnp.clip(k, 0, n - 2).astype(jnp.int32)
+    h = jax.lax.broadcasted_iota(jnp.int32, h_idx_keys.shape, 0)
+    base = h * n + ki
+    flat = field.reshape(-1)
+    lo = jnp.take(flat, base)
+    hi = jnp.take(flat, base + 1)
     return lo * (1.0 - prop) + hi * prop
 
 
 def gather_column_field(field: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
-    """Lerp a per-column field [W, N_t(,D)] at keys [H, W, K]."""
+    """Lerp a per-column field [W, N_t(,D)] at keys [H, W, K].
+
+    Flattened single-take addressing (global index w·N_t+k); D-channel
+    fields gather contiguous D-wide rows, amortizing the random access.
+    """
     k = jnp.floor(keys)
     prop = keys - k
-    ki = jnp.clip(k, 0, field.shape[1] - 2).astype(jnp.int32)
-
-    def per_col(vals, idx):  # vals [N_t(,D)], idx [H, K]
-        lo = jnp.take(vals, idx, axis=0)
-        hi = jnp.take(vals, idx + 1, axis=0)
-        return lo, hi
-
-    lo, hi = jax.vmap(per_col, in_axes=(0, 1), out_axes=1)(field, ki)
+    n = field.shape[1]
+    ki = jnp.clip(k, 0, n - 2).astype(jnp.int32)
+    w = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+    base = w * n + ki
     if field.ndim == 3:
+        flat = field.reshape(-1, field.shape[2])
+        lo = jnp.take(flat, base, axis=0)
+        hi = jnp.take(flat, base + 1, axis=0)
         prop = prop[..., None]
+    else:
+        flat = field.reshape(-1)
+        lo = jnp.take(flat, base)
+        hi = jnp.take(flat, base + 1)
     return lo * (1.0 - prop) + hi * prop

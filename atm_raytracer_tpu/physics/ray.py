@@ -106,8 +106,11 @@ class RefractionTable:
         """Linear interpolation of l(h); clamps outside the grid."""
         t = (h - self.h0) * self.inv_dh
         n = self.values.shape[0]
-        t = jnp.clip(t, 0.0, n - 1.000001)
-        i = jnp.floor(t).astype(jnp.int32)
+        t = jnp.clip(t, 0.0, float(n - 1))
+        # clamp the base index to n-2 (not via the float clip: for large n
+        # the f32 "n - 1 - eps" rounds back up to n - 1, and the i+1 tap
+        # would gather out of bounds — NaN under jnp.take's fill mode)
+        i = jnp.minimum(jnp.floor(t).astype(jnp.int32), n - 2)
         f = t - i.astype(t.dtype)
         lo = jnp.take(self.values, i)
         hi = jnp.take(self.values, i + 1)
@@ -153,6 +156,7 @@ def march_rays(
     table: Optional[RefractionTable],
     straight: bool,
     with_path_length: bool = True,
+    coarse: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """March a batch of rays N fixed steps; returns (h, path_length).
 
@@ -164,6 +168,14 @@ def march_rays(
       shape: flat or spherical Earth.
       table: refraction table (ignored when ``straight``).
       straight: bypass refraction (``--straight``, README.md:216-218).
+      coarse: sequential-depth reduction factor. 1 = classic fixed-step RK4
+        (the reference's stepper semantics). C > 1 integrates RK4 at C·step
+        and fills the fine grid by cubic Hermite dense output — the scan
+        carries (h, h') so the interpolant matches value AND slope at every
+        node; the ODE solution is polynomial-smooth between atmosphere-layer
+        kinks, so the fine-grid error is far below the integrator's own
+        tolerance (validated in tests/test_ray.py::test_coarse_march_parity).
+        Cuts the sequential chain N → N/C, the TPU latency bottleneck.
 
     Returns:
       h:        [B, N+1] ray altitude at x = k*step.
@@ -176,38 +188,71 @@ def march_rays(
     elev_rad = jnp.asarray(elev_rad, jnp.float32)
     alt = jnp.broadcast_to(jnp.asarray(alt, jnp.float32), elev_rad.shape)
     v0 = initial_slope(alt, elev_rad, shape)
-    dx = jnp.float32(step)
     radius = shape.radius
+    coarse = max(1, min(int(coarse), n_steps))
+    n_coarse = -(-n_steps // coarse)
+    dx = jnp.float32(step * coarse)
 
     def deriv(h, v):
         return v, _acceleration(h, v, table, radius, straight)
 
     def body(carry, _):
-        h, v, plen = carry
+        h, v = carry
         k1h, k1v = deriv(h, v)
         k2h, k2v = deriv(h + 0.5 * dx * k1h, v + 0.5 * dx * k1v)
         k3h, k3v = deriv(h + 0.5 * dx * k2h, v + 0.5 * dx * k2v)
         k4h, k4v = deriv(h + dx * k3h, v + dx * k3v)
         h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
         v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
-        if with_path_length:
-            dh = h_new - h
-            if radius is None:
-                seg = jnp.sqrt(dx * dx + dh * dh)
-            else:
-                dx_eff = dx * ((h_new + h) * 0.5 + radius) / radius
-                seg = jnp.sqrt(dx_eff * dx_eff + dh * dh)
-            plen = plen + seg
-        return (h_new, v_new, plen), (h_new, plen)
+        return (h_new, v_new), (h_new, v_new)
 
-    plen0 = jnp.zeros_like(alt)
-    # unroll=8 on TPU: the per-iteration state is a few [B] vectors, so loop
+    # unroll on TPU: the per-iteration state is a few [B] vectors, so loop
     # overhead dominates an un-unrolled scan (~70 µs/step measured). On CPU
     # (tests) the unroll only bloats compile time.
-    unroll = 8 if jax.default_backend() == "tpu" else 1
-    (_, _, _), (hs, plens) = jax.lax.scan(
-        body, (alt, v0, plen0), None, length=n_steps, unroll=unroll
+    unroll = min(8, n_coarse) if jax.default_backend() == "tpu" else 1
+    (_, _), (hs, vs) = jax.lax.scan(
+        body, (alt, v0), None, length=n_coarse, unroll=unroll
     )
-    h_out = jnp.concatenate([alt[None], hs], axis=0)  # [N+1, B]
-    p_out = jnp.concatenate([plen0[None], plens], axis=0)
-    return jnp.moveaxis(h_out, 0, 1), jnp.moveaxis(p_out, 0, 1)
+    h_nodes = jnp.concatenate([alt[None], hs], axis=0)  # [Nc+1, B]
+    v_nodes = jnp.concatenate([v0[None], vs], axis=0)
+
+    if coarse == 1:
+        h_fine = h_nodes[: n_steps + 1]  # [N+1, B]
+    else:
+        # cubic Hermite dense output per coarse segment: t in [0, 1)
+        t = jnp.arange(coarse, dtype=jnp.float32)[:, None, None] / jnp.float32(
+            coarse
+        )  # [C, 1, 1]
+        t2 = t * t
+        t3 = t2 * t
+        h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+        h10 = t3 - 2.0 * t2 + t
+        h01 = -2.0 * t3 + 3.0 * t2
+        h11 = t3 - t2
+        hl = h_nodes[:-1][None]  # [1, Nc, B]
+        hr = h_nodes[1:][None]
+        vl = v_nodes[:-1][None] * dx
+        vr = v_nodes[1:][None] * dx
+        seg = h00 * hl + h10 * vl + h01 * hr + h11 * vr  # [C, Nc, B]
+        h_fine = jnp.concatenate(
+            [seg.transpose(1, 0, 2).reshape(-1, seg.shape[2]), h_nodes[-1:]],
+            axis=0,
+        )[: n_steps + 1]  # [N+1, B]
+
+    h_out = jnp.moveaxis(h_fine, 0, 1)  # [B, N+1]
+    if not with_path_length:
+        return h_out, jnp.zeros_like(h_out)
+    # cumulative path length over the FINE grid — same per-step formula as
+    # the reference's calc_dist (utils.rs:42-53), now a vectorized cumsum
+    dxf = jnp.float32(step)
+    dh = h_out[:, 1:] - h_out[:, :-1]
+    if radius is None:
+        seg_len = jnp.sqrt(dxf * dxf + dh * dh)
+    else:
+        dx_eff = dxf * ((h_out[:, 1:] + h_out[:, :-1]) * 0.5 + radius) / radius
+        seg_len = jnp.sqrt(dx_eff * dx_eff + dh * dh)
+    p_out = jnp.concatenate(
+        [jnp.zeros((h_out.shape[0], 1), jnp.float32), jnp.cumsum(seg_len, axis=1)],
+        axis=1,
+    )
+    return h_out, p_out

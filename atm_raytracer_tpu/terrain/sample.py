@@ -47,20 +47,26 @@ def sample_elevation(
 
     row_cell = cell_lat.astype(jnp.int32) + (lat0_floor - pack.lat_min)
     col_cell = cell_lon.astype(jnp.int32) + (lon0_floor - pack.lon_min)
-    n_rows, n_cols = pack.index_map.shape
-    in_map = (
+    n_rows, n_cols = pack.n_rows, pack.n_cols
+    valid = (
         (row_cell >= 0) & (row_cell < n_rows) & (col_cell >= 0) & (col_cell < n_cols)
     )
     row_c = jnp.clip(row_cell, 0, n_rows - 1)
     col_c = jnp.clip(col_cell, 0, n_cols - 1)
-    tile_id = pack.index_map[row_c, col_c]
-    valid = in_map & (tile_id >= 0)
-    t = jnp.maximum(tile_id, 0)
+    # dense grid: tile slot is pure arithmetic (no index-table gather);
+    # missing tiles are all-zero slots = the reference's 0.0 fallback
+    t = row_c * n_cols + col_c
 
-    r = local_lat * pack.rows_m1[t]
-    c = local_lon * pack.cols_m1[t]
-    ri = jnp.minimum(jnp.floor(r), pack.rows_m1[t] - 1.0).astype(jnp.int32)
-    ci = jnp.minimum(jnp.floor(c), pack.cols_m1[t] - 1.0).astype(jnp.int32)
+    if pack.uniform is not None:  # one tile shape → compile-time scales
+        t_rows_m1 = jnp.float32(pack.uniform[0])
+        t_cols_m1 = jnp.float32(pack.uniform[1])
+    else:
+        t_rows_m1 = pack.rows_m1[t]
+        t_cols_m1 = pack.cols_m1[t]
+    r = local_lat * t_rows_m1
+    c = local_lon * t_cols_m1
+    ri = jnp.minimum(jnp.floor(r), t_rows_m1 - 1.0).astype(jnp.int32)
+    ci = jnp.minimum(jnp.floor(c), t_cols_m1 - 1.0).astype(jnp.int32)
     rf = r - ri.astype(jnp.float32)
     cf = c - ci.astype(jnp.float32)
 
@@ -83,8 +89,8 @@ def sample_elevation(
     # d(elev)/d(row coord) and /d(col coord), scaled to per-degree
     de_dr = (e10 - e00) * (1 - cf) + (e11 - e01) * cf
     de_dc = (e01 - e00) * (1 - rf) + (e11 - e10) * rf
-    de_dlat = de_dr * pack.rows_m1[t]
-    de_dlon = de_dc * pack.cols_m1[t]
+    de_dlat = de_dr * t_rows_m1
+    de_dlon = de_dc * t_cols_m1
     zero = jnp.zeros_like(elev)
     return (
         jnp.where(valid, elev, 0.0),

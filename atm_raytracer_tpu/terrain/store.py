@@ -164,9 +164,18 @@ class Terrain:
             if (la, lo) in self._paths or (la, lo) in self._loaded
         ]
         tiles = [self._tile(k) for k in keys]
+        # dense grid over the PRESENT tiles' bounding box: slot (r, c) =
+        # r * n_cols + c, missing tiles stay all-zero (the reference's
+        # missing-tile fallback IS elevation 0.0 — utils.rs:28-31,84 — so no
+        # per-point tile-index table is needed on device; tile lookup is
+        # pure integer arithmetic, saving a 3rd full-size gather per sample)
+        if keys:
+            lat_lo = min(k[0] for k in keys)
+            lat_hi = max(k[0] for k in keys)
+            lon_lo = min(k[1] for k in keys)
+            lon_hi = max(k[1] for k in keys)
         n_lats = lat_hi - lat_lo + 1
         n_lons = lon_hi - lon_lo + 1
-        index_map = np.full((n_lats, n_lons), -1, np.int32)
         if tiles:
             s = max(max(t.elev.shape) for t in tiles)
         else:
@@ -179,43 +188,66 @@ class Terrain:
             for t in tiles
         ) if tiles else False
         dtype = np.int16 if int_exact else np.float32
-        stack = np.zeros((max(len(tiles), 1), s, s), dtype)
-        rows_m1 = np.ones((max(len(tiles), 1),), np.float32)
-        cols_m1 = np.ones((max(len(tiles), 1),), np.float32)
-        for i, (k, t) in enumerate(zip(keys, tiles)):
+        stack = np.zeros((n_lats * n_lons, s, s), dtype)
+        rows_m1 = np.ones((n_lats * n_lons,), np.float32)
+        cols_m1 = np.ones((n_lats * n_lons,), np.float32)
+        shapes = {t.elev.shape for t in tiles}
+        for k, t in zip(keys, tiles):
+            slot = (k[0] - lat_lo) * n_lons + (k[1] - lon_lo)
             nr, nc = t.elev.shape
-            stack[i, :nr, :nc] = t.elev
-            rows_m1[i] = nr - 1
-            cols_m1[i] = nc - 1
-            index_map[k[0] - lat_lo, k[1] - lon_lo] = i
+            stack[slot, :nr, :nc] = t.elev
+            rows_m1[slot] = nr - 1
+            cols_m1[slot] = nc - 1
+        uniform = None
+        if len(shapes) == 1:
+            (nr, nc), = shapes
+            uniform = (float(nr - 1), float(nc - 1))
+        elif not shapes:
+            uniform = (1.0, 1.0)
         return TerrainPack(
             tiles=jnp.asarray(stack),
             rows_m1=jnp.asarray(rows_m1),
             cols_m1=jnp.asarray(cols_m1),
-            index_map=jnp.asarray(index_map),
             lat_min=lat_lo,
             lon_min=lon_lo,
+            n_rows=n_lats,
+            n_cols=n_lons,
+            uniform=uniform,
         )
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class TerrainPack:
-    """Device mosaic: [T, S, S] tiles + integer tile map."""
+    """Device mosaic: dense [n_rows*n_cols, S, S] tile grid.
 
-    tiles: jnp.ndarray  # [T, S, S] f32
-    rows_m1: jnp.ndarray  # [T] f32
-    cols_m1: jnp.ndarray  # [T] f32
-    index_map: jnp.ndarray  # [n_lat_cells, n_lon_cells] int32, -1 = missing
-    lat_min: int  # static: floor latitude of index_map[0, :]
+    Slot (r, c) = r * n_cols + c covers the 1°×1° cell at
+    (lat_min + r, lon_min + c); missing tiles are all-zero slots (elevation
+    0.0 = the reference's missing-tile fallback). ``uniform`` carries the
+    (rows−1, cols−1) post counts as compile-time floats when every tile
+    shares one shape — the overwhelmingly common case — so sampling needs no
+    per-point scale-factor gathers.
+    """
+
+    tiles: jnp.ndarray  # [n_rows*n_cols, S, S] int16 or f32
+    rows_m1: jnp.ndarray  # [n_rows*n_cols] f32 (mixed-resolution fallback)
+    cols_m1: jnp.ndarray  # [n_rows*n_cols] f32
+    lat_min: int  # static: floor latitude of grid row 0
     lon_min: int
+    n_rows: int  # static
+    n_cols: int  # static
+    uniform: Optional[Tuple[float, float]]  # static (rows−1, cols−1) or None
 
     def tree_flatten(self):
         return (
-            (self.tiles, self.rows_m1, self.cols_m1, self.index_map),
-            (self.lat_min, self.lon_min),
+            (self.tiles, self.rows_m1, self.cols_m1),
+            (self.lat_min, self.lon_min, self.n_rows, self.n_cols, self.uniform),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, lat_min=aux[0], lon_min=aux[1])
+        return cls(
+            *children,
+            lat_min=aux[0], lon_min=aux[1], n_rows=aux[2], n_cols=aux[3],
+            uniform=aux[4],
+        )

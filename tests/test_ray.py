@@ -136,3 +136,55 @@ def test_path_length_spherical_correction():
     )
     x_total = 100 * 50.0
     assert float(plen[0, -1]) > x_total * (1 + h0 / R) * 0.999
+
+
+def test_coarse_march_parity(table):
+    """Coarse RK4 + Hermite dense output vs fine-step RK4 (the perf path).
+
+    Rays from grazing to steep, US-76 refraction, 200 km at 50 m steps.
+    The dense-output error must be far below the physical tolerance band
+    (the reference's own accuracy knob is the 50 m simulation_step).
+    """
+    elev = jnp.deg2rad(jnp.asarray([-0.5, -0.1, 0.0, 0.1, 1.0, 5.0], jnp.float32))
+    n = 4000
+    h_fine, p_fine = march_rays(100.0, elev, 50.0, n, SPHERE, table, False)
+    h_coarse, p_coarse = march_rays(
+        100.0, elev, 50.0, n, SPHERE, table, False, coarse=8
+    )
+    np.testing.assert_allclose(np.asarray(h_coarse), np.asarray(h_fine), atol=0.05)
+    np.testing.assert_allclose(np.asarray(p_coarse), np.asarray(p_fine), rtol=1e-6)
+
+
+def test_coarse_march_parity_duct(table):
+    """Sharp inversion layer (spline atmosphere): coarse dense output still
+    tracks the fine integration within the duct's bending scale."""
+    from atm_raytracer_tpu.physics.atmosphere import (
+        AtmosphereDef,
+        LinearFunction,
+        SplineFunction,
+    )
+
+    duct = AtmosphereDef(
+        pressure_altitude=0.0,
+        pressure=101325.0,
+        first_temperature_function=LinearFunction(-0.0065),
+        next_functions=(
+            (
+                50.0,
+                SplineFunction(
+                    boundary_condition=("Natural",),
+                    points=((50.0, 287.8), (65.0, 292.0), (80.0, 288.0)),
+                ),
+            ),
+            (80.0, LinearFunction(-0.0065)),
+        ),
+    )
+    t = RefractionTable.build(Atmosphere(duct), 530e-9)
+    elev = jnp.deg2rad(jnp.asarray([-0.05, 0.0, 0.05, 0.3], jnp.float32))
+    n = 4000
+    h_fine, _ = march_rays(60.0, elev, 50.0, n, SPHERE, t, False)
+    h_coarse, _ = march_rays(60.0, elev, 50.0, n, SPHERE, t, False, coarse=8)
+    # near-critical duct-trapped rays are intrinsically sensitive (the escape
+    # angle is a bifurcation); a few meters at 200 km is within the fine
+    # integrator's own distance from the true solution there
+    np.testing.assert_allclose(np.asarray(h_coarse), np.asarray(h_fine), atol=2.5)
