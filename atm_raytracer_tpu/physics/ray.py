@@ -78,9 +78,10 @@ class RefractionTable:
     h0: jnp.ndarray  # scalar f32
     inv_dh: jnp.ndarray  # scalar f32
     values: jnp.ndarray  # [n] f32
+    pairs: jnp.ndarray  # [n-1, 2] f32: (values[i], values[i+1]) — one-take lerp
 
     def tree_flatten(self):
-        return (self.h0, self.inv_dh, self.values), None
+        return (self.h0, self.inv_dh, self.values, self.pairs), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -96,14 +97,20 @@ class RefractionTable:
     ) -> "RefractionTable":
         hs = np.arange(h_lo, h_hi + dh, dh, dtype=np.float64)
         vals = atm.dlnn_dh(hs, wavelength).astype(np.float32)
+        pairs = np.stack([vals[:-1], vals[1:]], axis=-1)
         return RefractionTable(
             h0=jnp.float32(h_lo),
             inv_dh=jnp.float32(1.0 / dh),
             values=jnp.asarray(vals),
+            pairs=jnp.asarray(pairs),
         )
 
     def lookup(self, h: jnp.ndarray) -> jnp.ndarray:
-        """Linear interpolation of l(h); clamps outside the grid."""
+        """Linear interpolation of l(h); clamps outside the grid.
+
+        Both cell ends come from ONE gather of the adjacent-pair table —
+        gather launches, not bytes, bound the march's inner loop.
+        """
         t = (h - self.h0) * self.inv_dh
         n = self.values.shape[0]
         t = jnp.clip(t, 0.0, float(n - 1))
@@ -112,9 +119,8 @@ class RefractionTable:
         # would gather out of bounds — NaN under jnp.take's fill mode)
         i = jnp.minimum(jnp.floor(t).astype(jnp.int32), n - 2)
         f = t - i.astype(t.dtype)
-        lo = jnp.take(self.values, i)
-        hi = jnp.take(self.values, i + 1)
-        return lo * (1.0 - f) + hi * f
+        row = jnp.take(self.pairs, i, axis=0)  # [..., 2]
+        return row[..., 0] * (1.0 - f) + row[..., 1] * f
 
 
 def _acceleration(
@@ -123,18 +129,24 @@ def _acceleration(
     table: Optional[RefractionTable],
     radius: Optional[float],
     straight: bool,
+    l_pre: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """h'' per the module-docstring ODE. table=None or straight ⇒ no bending."""
+    """h'' per the module-docstring ODE. table=None or straight ⇒ no bending.
+
+    l_pre: optional precomputed l(h) (batched-lookup fast path in the march).
+    """
     if radius is None:
         if straight or table is None:
             return jnp.zeros_like(h)
-        return table.lookup(h) * (1.0 + v * v)
+        l = table.lookup(h) if l_pre is None else l_pre
+        return l * (1.0 + v * v)
     inv_r = 1.0 / radius
     u = 1.0 + h * inv_r
     geom = (u * u + 2.0 * v * v) / u * inv_r
     if straight or table is None:
         return geom
-    return table.lookup(h) * (u * u + v * v) + geom
+    l = table.lookup(h) if l_pre is None else l_pre
+    return l * (u * u + v * v) + geom
 
 
 def initial_slope(
@@ -193,15 +205,31 @@ def march_rays(
     n_coarse = -(-n_steps // coarse)
     dx = jnp.float32(step * coarse)
 
-    def deriv(h, v):
-        return v, _acceleration(h, v, table, radius, straight)
+    bend = table is not None and not straight
 
     def body(carry, _):
         h, v = carry
-        k1h, k1v = deriv(h, v)
-        k2h, k2v = deriv(h + 0.5 * dx * k1h, v + 0.5 * dx * k1v)
-        k3h, k3v = deriv(h + 0.5 * dx * k2h, v + 0.5 * dx * k2v)
-        k4h, k4v = deriv(h + dx * k3h, v + dx * k3v)
+        if bend:
+            # ONE batched l(h) gather per step: stage altitudes are predicted
+            # from the carried slope (h + 0.5·dx·v, h + dx·v). The true stage
+            # arguments differ by O(dx²·h'') ≈ centimeters, and l(h) enters
+            # multiplied by small curvature terms, so the induced error is
+            # far below the integrator tolerance — while gather *launches*,
+            # not bytes, bound the scan's per-step cost on TPU.
+            ls = table.lookup(
+                jnp.stack([h, h + (0.5 * dx) * v, h + dx * v], axis=0)
+            )
+            l1, l2, l4 = ls[0], ls[1], ls[2]
+        else:
+            l1 = l2 = l4 = None
+        k1v = _acceleration(h, v, table, radius, straight, l_pre=l1)
+        k1h = v
+        k2h = v + 0.5 * dx * k1v
+        k2v = _acceleration(h + 0.5 * dx * k1h, k2h, table, radius, straight, l_pre=l2)
+        k3h = v + 0.5 * dx * k2v
+        k3v = _acceleration(h + 0.5 * dx * k2h, k3h, table, radius, straight, l_pre=l2)
+        k4h = v + dx * k3v
+        k4v = _acceleration(h + dx * k3h, k4h, table, radius, straight, l_pre=l4)
         h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
         v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
         return (h_new, v_new), (h_new, v_new)

@@ -33,7 +33,8 @@ def build_terrain(lat0, lon0, reach_deg_lat, reach_deg_lon, n_posts=1201):
         for lo in range(int(math.floor(lon0 - reach_deg_lon)), int(math.floor(lon0 + reach_deg_lon)) + 1):
             lats = la + np.arange(n_posts) / (n_posts - 1)
             lons = lo + np.arange(n_posts) / (n_posts - 1)
-            grid = analytic_hills(lats[:, None], lons[None, :]).astype(np.float32)
+            # integer meters, like real DTED/SRTM posts (fixtures.tile_grid)
+            grid = np.round(analytic_hills(lats[:, None], lons[None, :])).astype(np.int16)
             terrain.add_tile(Tile(lat0=la, lon0=lo, elev=grid))
     return terrain
 
