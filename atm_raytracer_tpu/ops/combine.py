@@ -138,11 +138,11 @@ def gather_ray_field(field: jnp.ndarray, h_idx_keys: jnp.ndarray) -> jnp.ndarray
     n = field.shape[1]
     ki = jnp.clip(k, 0, n - 2).astype(jnp.int32)
     h = jax.lax.broadcasted_iota(jnp.int32, h_idx_keys.shape, 0)
-    base = h * n + ki
-    flat = field.reshape(-1)
-    lo = jnp.take(flat, base)
-    hi = jnp.take(flat, base + 1)
-    return lo * (1.0 - prop) + hi * prop
+    base = h * (n - 1) + ki
+    # adjacent-pair layout: both lerp endpoints in one 8-byte-row gather
+    pairs = jnp.stack([field[:, :-1], field[:, 1:]], axis=-1).reshape(-1, 2)
+    row = jnp.take(pairs, base, axis=0)
+    return row[..., 0] * (1.0 - prop) + row[..., 1] * prop
 
 
 def gather_column_field(field: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
@@ -156,14 +156,16 @@ def gather_column_field(field: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
     n = field.shape[1]
     ki = jnp.clip(k, 0, n - 2).astype(jnp.int32)
     w = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
-    base = w * n + ki
+    base = w * (n - 1) + ki
+    # adjacent-pair layout: both lerp endpoints in one contiguous-row gather
     if field.ndim == 3:
-        flat = field.reshape(-1, field.shape[2])
-        lo = jnp.take(flat, base, axis=0)
-        hi = jnp.take(flat, base + 1, axis=0)
+        d = field.shape[2]
+        pairs = jnp.concatenate(
+            [field[:, :-1, :], field[:, 1:, :]], axis=-1
+        ).reshape(-1, 2 * d)
+        row = jnp.take(pairs, base, axis=0)  # [..., 2D]
         prop = prop[..., None]
-    else:
-        flat = field.reshape(-1)
-        lo = jnp.take(flat, base)
-        hi = jnp.take(flat, base + 1)
-    return lo * (1.0 - prop) + hi * prop
+        return row[..., :d] * (1.0 - prop) + row[..., d:] * prop
+    pairs = jnp.stack([field[:, :-1], field[:, 1:]], axis=-1).reshape(-1, 2)
+    row = jnp.take(pairs, base, axis=0)
+    return row[..., 0] * (1.0 - prop) + row[..., 1] * prop

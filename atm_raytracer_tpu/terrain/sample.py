@@ -71,13 +71,26 @@ def sample_elevation(
     cf = c - ci.astype(jnp.float32)
 
     s = pack.tiles.shape[1]
-    flat = pack.tiles.reshape(-1)
     base = t * (s * s) + ri * s + ci
-    # tiles may be int16 (integer-meter terrain, half the gather bytes)
-    e00 = jnp.take(flat, base).astype(jnp.float32)
-    e10 = jnp.take(flat, base + s).astype(jnp.float32)
-    e01 = jnp.take(flat, base + 1).astype(jnp.float32)
-    e11 = jnp.take(flat, base + s + 1).astype(jnp.float32)
+    if pack.quad is not None:
+        # one 8-byte-row gather delivers the whole 2×2 footprint (int16
+        # posts packed into two int32 lanes; see TerrainPack quad layout)
+        packed = jnp.take(pack.quad.reshape(-1, 2), base, axis=0)  # [..., 2]
+        row0 = packed[..., 0]
+        row1 = packed[..., 1]
+        # sign-extending unpack: low lane via <<16 >>16 (arithmetic), high
+        # lane via >>16
+        e00 = ((row0 << 16) >> 16).astype(jnp.float32)
+        e01 = (row0 >> 16).astype(jnp.float32)
+        e10 = ((row1 << 16) >> 16).astype(jnp.float32)
+        e11 = (row1 >> 16).astype(jnp.float32)
+    else:
+        flat = pack.tiles.reshape(-1)
+        # tiles may be int16 (integer-meter terrain, half the gather bytes)
+        e00 = jnp.take(flat, base).astype(jnp.float32)
+        e10 = jnp.take(flat, base + s).astype(jnp.float32)
+        e01 = jnp.take(flat, base + 1).astype(jnp.float32)
+        e11 = jnp.take(flat, base + s + 1).astype(jnp.float32)
     elev = (
         e00 * (1 - rf) * (1 - cf)
         + e10 * rf * (1 - cf)

@@ -204,6 +204,24 @@ class Terrain:
             uniform = (float(nr - 1), float(nc - 1))
         elif not shapes:
             uniform = (1.0, 1.0)
+        quad = None
+        if dtype == np.int16:
+            # quad-pack: quad[t, r, c] holds the full 2×2 bilinear footprint
+            # rooted at (r, c) as two int32 lanes —
+            #   lane 0 = (e[r,   c+1] << 16) | u16(e[r,   c])
+            #   lane 1 = (e[r+1, c+1] << 16) | u16(e[r+1, c])
+            # so one 8-byte-row gather replaces four scalar taps (gather
+            # LAUNCHES, not bytes, bound TPU sampling). Last row/col lanes
+            # pair with zeros and are never addressed (ri ≤ rows−2).
+            u = stack.astype(np.uint16).astype(np.uint32)
+            right = np.zeros_like(u)
+            right[:, :, :-1] = u[:, :, 1:]
+            row = (right << 16) | u  # [T, S, S] u32: (e[r,c+1], e[r,c])
+            down = np.zeros_like(row)
+            down[:, :-1, :] = row[:, 1:, :]
+            quad = jnp.asarray(
+                np.stack([row, down], axis=-1).astype(np.int32)
+            )  # [T, S, S, 2]
         return TerrainPack(
             tiles=jnp.asarray(stack),
             rows_m1=jnp.asarray(rows_m1),
@@ -213,6 +231,7 @@ class Terrain:
             n_rows=n_lats,
             n_cols=n_lons,
             uniform=uniform,
+            quad=quad,
         )
 
 
@@ -237,17 +256,18 @@ class TerrainPack:
     n_rows: int  # static
     n_cols: int  # static
     uniform: Optional[Tuple[float, float]]  # static (rows−1, cols−1) or None
+    quad: Optional[jnp.ndarray] = None  # [T, S, S, 2] int32 2×2-footprint pack
 
     def tree_flatten(self):
         return (
-            (self.tiles, self.rows_m1, self.cols_m1),
+            (self.tiles, self.rows_m1, self.cols_m1, self.quad),
             (self.lat_min, self.lon_min, self.n_rows, self.n_cols, self.uniform),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
-            *children,
+            children[0], children[1], children[2],
             lat_min=aux[0], lon_min=aux[1], n_rows=aux[2], n_cols=aux[3],
-            uniform=aux[4],
+            uniform=aux[4], quad=children[3],
         )
