@@ -27,8 +27,15 @@ FORMAT_VERSION = 1
 
 def save_metadata(path, config: Config, result: RenderResult) -> None:
     hits = result.hits
+    # write to the EXACT filename the user gave (np.savez appends .npz to
+    # string paths; the reference honors --output-meta verbatim)
+    with open(path, "wb") as fh:
+        _savez(fh, config, result, hits)
+
+
+def _savez(fh, config, result, hits):
     np.savez_compressed(
-        path,
+        fh,
         format_version=np.int32(FORMAT_VERSION),
         config_yaml=np.frombuffer(
             yaml.safe_dump(config.to_dict()).encode(), dtype=np.uint8

@@ -162,8 +162,28 @@ def render_sweep_sharded(
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
     objset = ObjectSet.build(params, terrain) if params.objects else None
 
-    core = functools.partial(
-        fast_mod.fast_core,
+    # per-frame light vector: the Shading light direction is anchored to the
+    # view direction (params.rs:252-258), so each sweep frame gets its own.
+    import dataclasses as _dc
+
+    lights = []
+    for d in dirs:
+        frame_d = _dc.replace(frame, direction=float(d))
+        col = params.view.coloring.into_coloring(frame_d, pos, params.model)
+        lights.append(col.light_dir if col.light_dir is not None else (0.0, 0.0, 1.0))
+    lights = np.asarray(lights, np.float32)  # [F, 3]
+
+    frames_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    az_dev = jax.device_put(jnp.asarray(az_frames), frames_sharding)
+    alt_dev = jax.device_put(jnp.asarray(alts), frames_sharding)
+    light_dev = jax.device_put(jnp.asarray(lights), frames_sharding)
+    pack_r = jax.device_put(pack, repl)
+    table_r = jax.device_put(table, repl)
+    obj_r = jax.device_put(objset, repl) if objset is not None else None
+    elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
+    images = _sweep_device(
+        pack_r, table_r, obj_r, elev_r, az_dev, alt_dev, light_dev,
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -176,34 +196,26 @@ def render_sweep_sharded(
         fog_distance=params.view.fog_distance,
         terrain_alpha=float(params.terrain_alpha),
     )
+    return np.asarray(images)[:f]
 
-    # per-frame light vector: the Shading light direction is anchored to the
-    # view direction (params.rs:252-258), so each sweep frame gets its own.
-    import dataclasses as _dc
 
-    lights = []
-    for d in dirs:
-        frame_d = _dc.replace(frame, direction=float(d))
-        col = params.view.coloring.into_coloring(frame_d, pos, params.model)
-        lights.append(col.light_dir if col.light_dir is not None else (0.0, 0.0, 1.0))
-    lights = np.asarray(lights, np.float32)  # [F, 3]
-
-    def one_frame(pk, tb, ob, el, az_row, alt, light):
-        image, _hits = core(pk, tb, ob, el, az_row, alt, light_dir=light)
+# module-level jit (NOT a per-call closure: a fresh jit wrapper every sweep
+# would recompile every time); pack/table as ARGUMENTS, not captures —
+# captured device arrays embed as HLO constants and serialize through the
+# TPU tunnel at lowering
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
+        "lon0", "coloring", "fog_distance", "terrain_alpha",
+    ),
+)
+def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights, **statics):
+    def one_frame(az_row, alt, light):
+        image, _hits = fast_mod.fast_core(
+            pack, table, objset, elev_deg, az_row, alt, light_dir=light,
+            **statics,
+        )
         return image
 
-    frames_sharding = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
-    az_dev = jax.device_put(jnp.asarray(az_frames), frames_sharding)
-    alt_dev = jax.device_put(jnp.asarray(alts), frames_sharding)
-    light_dev = jax.device_put(jnp.asarray(lights), frames_sharding)
-    pack_r = jax.device_put(pack, repl)
-    table_r = jax.device_put(table, repl)
-    obj_r = jax.device_put(objset, repl) if objset is not None else None
-    elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
-    # pack/table as arguments (not captures): captured device arrays embed
-    # as HLO constants and serialize through the TPU tunnel at lowering
-    images = jax.jit(
-        jax.vmap(one_frame, in_axes=(None, None, None, None, 0, 0, 0))
-    )(pack_r, table_r, obj_r, elev_r, az_dev, alt_dev, light_dev)
-    return np.asarray(images)[:f]
+    return jax.vmap(one_frame)(az_frames, alts, lights)
