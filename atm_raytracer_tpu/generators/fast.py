@@ -258,7 +258,9 @@ def render_fast(params: Params, terrain: Terrain, max_hits: Optional[int] = None
     )
     return RenderResult(
         image=np.asarray(image),
-        hits=jax.tree.map(np.asarray, hits),
+        # hits stay on device: fetching ~14 fields × H×W×K is pure transfer
+        # cost unless metadata is requested (save_metadata np.asarrays them)
+        hits=hits,
         elevation_deg=elev_deg,
         azimuth_deg=camera.wrap_azimuth_deg(az_deg),
         observer=(pos.latitude, pos.longitude, alt0),

@@ -394,7 +394,7 @@ def render_interpolating(
 
     return RenderResult(
         image=np.asarray(image),
-        hits=jax.tree.map(np.asarray, hits),
+        hits=hits,  # device-resident; see generators.fast note
         elevation_deg=elev_out,
         azimuth_deg=az_out,
         observer=(pos.latitude, pos.longitude, alt0),
