@@ -59,8 +59,13 @@ def pixelwise_hits(
     """Hits for P independent (elevation, azimuth) rays."""
     p_n = elev_rad.shape[0]
     n_seg = n_terr - 1
+    import os as _os
+
+    coarse = int(_os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
+        1, int(400.0 // step)
+    )
     ray_h, path_len = march_rays(
-        alt0, elev_rad, step, n_seg, shape, table, straight
+        alt0, elev_rad, step, n_seg, shape, table, straight, coarse=coarse
     )  # [P, n_terr]
     alive = combine.ray_alive_mask(ray_h)  # [P, n_seg]
 
@@ -211,12 +216,16 @@ def render_rectilinear(
             fog_distance=params.view.fog_distance,
             terrain_alpha=float(params.terrain_alpha),
         )
-        images.append(np.asarray(img_c))
-        hit_parts.append(jax.tree.map(np.asarray, hits_c))
+        images.append(img_c)
+        hit_parts.append(hits_c)
 
-    image = np.concatenate(images, axis=0)[:p_total].reshape(h, w, 3)
+    # concatenate on DEVICE; only the final u8 image crosses to host (hit
+    # buffers stay device-resident — see generators.fast note)
+    image = np.asarray(
+        jnp.concatenate(images, axis=0)[:p_total].reshape(h, w, 3)
+    )
     hits = jax.tree.map(
-        lambda *xs: np.concatenate(xs, axis=0)[:p_total].reshape(
+        lambda *xs: jnp.concatenate(xs, axis=0)[:p_total].reshape(
             (h, w) + xs[0].shape[1:]
         ),
         *hit_parts,
