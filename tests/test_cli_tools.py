@@ -1,0 +1,121 @@
+"""CLI diagnostic subcommands: output-atm / output-ray-paths /
+output-elev-profile (reference src/atm_printer.rs, src/ray_path.rs,
+src/elev_profile.rs) driven end-to-end as subprocesses, with physics
+oracles on the printed tables.
+"""
+
+import math
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import make_terrain_folder, analytic_hills
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def terrain_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("terrain_cli")
+    return make_terrain_folder(d, tiles=((49, 21),), n=241)
+
+
+@pytest.fixture(scope="module")
+def cfg_path(tmp_path_factory, terrain_dir):
+    cfg = {
+        "scene": {"terrain_folder": str(terrain_dir)},
+        "view": {
+            "position": {"latitude": 49.5, "longitude": 21.5,
+                         "altitude": {"Absolute": 400.0}},
+            "frame": {"direction": 45.0, "fov": 20.0, "max_distance": 20000.0},
+        },
+        "straight_rays": False,
+        "simulation_step": 50.0,
+        "output": {"width": 64, "height": 48},
+    }
+    p = tmp_path_factory.mktemp("cfg") / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+def _run(*args, timeout=600):
+    env = {**os.environ, "PYTHONPATH": str(REPO), "ATM_RAYTRACER_PLATFORM": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "-m", "atm_raytracer_tpu.cli", *args],
+        capture_output=True, text=True, env=env, timeout=timeout,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    return r.stdout
+
+
+def test_output_atm_us76_table(cfg_path):
+    out = _run("output-atm", str(cfg_path), "-a", "0", "-b", "12000",
+               "-s", "1000")
+    rows = [list(map(float, ln.split())) for ln in out.strip().splitlines()
+            if ln and ln[0].isdigit() or ln.startswith("0")]
+    rows = np.asarray([r for r in rows if len(r) >= 3])
+    # columns: altitude, temperature (Kelvin unless --celsius), pressure
+    alt = rows[:, 0]
+    T = rows[:, 1]
+    P = rows[:, 2]
+    i0 = int(np.argmin(np.abs(alt - 0.0)))
+    i11 = int(np.argmin(np.abs(alt - 11000.0)))
+    assert T[i0] == pytest.approx(288.15, abs=0.2)
+    assert P[i0] == pytest.approx(101325.0, rel=1e-3)
+    assert T[i11] == pytest.approx(216.65, abs=0.3)
+    assert P[i11] == pytest.approx(22632.0, rel=5e-3)
+
+
+def test_output_atm_celsius_flag(cfg_path):
+    k = _run("output-atm", str(cfg_path), "-a", "0", "-b", "100", "-s", "100")
+    c = _run("output-atm", str(cfg_path), "-a", "0", "-b", "100", "-s", "100",
+             "--celsius")
+    t_k = float(k.strip().splitlines()[0].split()[1])
+    t_c = float(c.strip().splitlines()[0].split()[1])
+    assert t_k - t_c == pytest.approx(273.15, abs=0.01)
+
+
+def test_output_ray_paths_refraction(cfg_path):
+    out = _run("output-ray-paths", str(cfg_path), "-h", "100", "-a", "0",
+               "-b", "0.1", "-s", "0.1", "-c", "20000", "-o", "1000")
+    rows = np.asarray([[float(v) for v in ln.split()]
+                       for ln in out.strip().splitlines() if ln.strip()])
+    x = rows[:, 0]
+    h0 = rows[:, 1]  # 0.00° ray
+    assert x[0] == 0.0 and x[-1] >= 19000.0
+    assert h0[0] == pytest.approx(100.0)
+    # h is altitude above the SPHERE surface: a straight 0° ray gains
+    # ~x²/2R as the surface curves away; refraction bends the ray down, so
+    # the gain is reduced by the standard refraction factor (1−k), k≈0.13-0.2
+    gain = h0[-1] - 100.0
+    straight = x[-1] ** 2 / (2 * 6371000.0)
+    assert 0.6 * straight < gain < 0.95 * straight
+
+
+def test_output_elev_profile_matches_analytic(cfg_path, terrain_dir):
+    out = _run("output-elev-profile", str(cfg_path), "-a", "45",
+               "-c", "5000", "-s", "500")
+    rows = np.asarray([
+        [float(v) for v in ln.split()]
+        for ln in out.strip().splitlines()
+        if ln.strip() and ln.split()[0].replace(".", "").replace("-", "").isdigit()
+    ])
+    # spot-check a mid-profile sample against the analytic hills the DTED
+    # fixture encodes: great-circle point at dist along azimuth 45°
+    R = 6371000.0
+    for dist, elev in rows[::4]:
+        ang = dist / R
+        az = math.radians(45.0)
+        lat1 = math.radians(49.5)
+        lat2 = math.asin(math.sin(lat1) * math.cos(ang)
+                         + math.cos(lat1) * math.sin(ang) * math.cos(az))
+        dlon = math.atan2(math.sin(az) * math.sin(ang) * math.cos(lat1),
+                          math.cos(ang) - math.sin(lat1) * math.sin(lat2))
+        lat_d, lon_d = math.degrees(lat2), 21.5 + math.degrees(dlon)
+        want = analytic_hills(lat_d, lon_d)
+        assert elev == pytest.approx(want, abs=6.0)  # int16 posts + bilinear

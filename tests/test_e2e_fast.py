@@ -161,3 +161,55 @@ def test_cli_gen(tmp_path, terrain_dir):
     assert r2.returncode == 0, r2.stderr + r2.stdout
     assert "View direction" in r2.stdout
     assert (tmp_path / "re.png").exists()
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        "SimpleSphere",
+        {"Spherical": {"radius": 6371000.0}},
+        {"Ellipsoid": {"a": 6378137.0, "b": 6356752.3}},
+        "Wgs84",
+        "AzimuthalEquidistant",
+        "FlatDistorted",
+        {"ObserverAe": {"projection_radius": 6371000.0}},
+        "SimpleObserverAe",
+    ],
+)
+def test_all_earth_models_render(tmp_path, terrain_dir, shape):
+    """Every earth_shape variant (utils/earth_model/mod.rs:19-28) renders a
+    sane frame: sky above, terrain below, hits on terrain."""
+    config, params, result = _render(
+        tmp_path, terrain_dir, earth_shape=shape,
+        view={
+            "position": {"latitude": 49.5, "longitude": 21.5,
+                         "altitude": {"Relative": 30.0}},
+            "frame": {"direction": 45.0, "fov": 20.0,
+                      "max_distance": 20000.0, "tilt": 0.0},
+            "coloring": {"Shading": {"water_level": -100.0}},
+        },
+    )
+    valid = np.asarray(result.hits.valid)
+    assert valid.any(), f"{shape}: no terrain hits"
+    assert not valid[0].all(), f"{shape}: top row should have sky"
+    assert valid[-1].all(), f"{shape}: bottom row should hit terrain"
+
+
+def test_translucent_terrain_multi_hit(tmp_path, terrain_dir):
+    """terrain_alpha < 1 (README.md:124-127): trace points keep multiple
+    crossings and the compositor blends them toward the sky."""
+    _, _, opaque = _render(tmp_path, terrain_dir)
+    _, _, trans = _render(
+        tmp_path, terrain_dir, scene={
+            "terrain_folder": str(terrain_dir), "terrain_alpha": 0.3,
+        },
+    )
+    v = np.asarray(trans.hits.valid)
+    assert v.shape[-1] > 1, "translucent terrain should keep K > 1 hit slots"
+    assert (v.sum(-1) > 1).any(), "some pixels should record several crossings"
+    # ground pixels become a blend with sky -> strictly bluer than opaque
+    img_o = np.asarray(opaque.image, int)
+    img_t = np.asarray(trans.image, int)
+    bottom_o = img_o[-10:].mean((0, 1))
+    bottom_t = img_t[-10:].mean((0, 1))
+    assert bottom_t[2] > bottom_o[2] + 10, "terrain should blend toward sky blue"
