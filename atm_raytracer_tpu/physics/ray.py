@@ -79,13 +79,21 @@ class RefractionTable:
     inv_dh: jnp.ndarray  # scalar f32
     values: jnp.ndarray  # [n] f32
     pairs: jnp.ndarray  # [n-1, 2] f32: (values[i], values[i+1]) — one-take lerp
+    # gather-free compiled form: l(h) as piecewise Chebyshev polynomials,
+    # split at the atmosphere's own discontinuities (STATIC aux — nested
+    # tuples of floats — so it bakes into jit/Pallas programs as constants).
+    # None when the profile resists a compact fit (then the table gathers).
+    poly: Optional[Tuple] = None  # ((h_lo, h_hi, (c0, c1, ...)), ...)
 
     def tree_flatten(self):
-        return (self.h0, self.inv_dh, self.values, self.pairs), None
+        return (
+            (self.h0, self.inv_dh, self.values, self.pairs),
+            (self.poly,),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, poly=aux[0])
 
     @staticmethod
     def build(
@@ -96,13 +104,15 @@ class RefractionTable:
         dh: float = 1.0,
     ) -> "RefractionTable":
         hs = np.arange(h_lo, h_hi + dh, dh, dtype=np.float64)
-        vals = atm.dlnn_dh(hs, wavelength).astype(np.float32)
+        vals64 = atm.dlnn_dh(hs, wavelength)
+        vals = vals64.astype(np.float32)
         pairs = np.stack([vals[:-1], vals[1:]], axis=-1)
         return RefractionTable(
             h0=jnp.float32(h_lo),
             inv_dh=jnp.float32(1.0 / dh),
             values=jnp.asarray(vals),
             pairs=jnp.asarray(pairs),
+            poly=_fit_piecewise_cheb(vals64, h_lo, dh),
         )
 
     def lookup(self, h: jnp.ndarray) -> jnp.ndarray:
@@ -121,6 +131,97 @@ class RefractionTable:
         f = t - i.astype(t.dtype)
         row = jnp.take(self.pairs, i, axis=0)  # [..., 2]
         return row[..., 0] * (1.0 - f) + row[..., 1] * f
+
+CHEB_DEG = 6
+
+
+def _fit_piecewise_cheb(
+    vals: np.ndarray,
+    h_lo: float,
+    dh: float,
+    cum_tol: float = 2e-8,
+    max_segments: int = 24,
+) -> Optional[Tuple]:
+    """Compile the l(h) table into piecewise Chebyshev polynomials.
+
+    Segments split first at detected jump discontinuities (l(h) genuinely
+    JUMPS at lapse-rate boundaries — e.g. the US-76 tropopause — because
+    dT/dh enters it directly), then bisect recursively until each fits to
+    tolerance. The acceptance criterion is the error the *ODE* feels: l
+    enters the march through its integral along the ray (the slope picks up
+    ∫l dh), so the cumulative-integral deviation |∫(fit−l)dh| is bounded by
+    ``cum_tol`` (dimensionless slope; 2e-8 keeps even grazing rays within
+    centimeters over 200 km).
+
+    Returns ((h_start, h_end, coeffs), ...) with coeffs a (CHEB_DEG+1)-tuple
+    of floats, or None if the profile needs more than ``max_segments``
+    pieces (evaluation cost then favors the gather path anyway).
+    """
+    from numpy.polynomial import chebyshev as C
+
+    vals = np.asarray(vals, np.float64)
+    n = vals.shape[0]
+    hs = h_lo + np.arange(n) * dh
+    dv = np.abs(np.diff(vals))
+    med = np.median(dv)
+    jumps = np.where((dv > 10.0 * med) & (dv > 1e-11))[0] + 1
+    bounds = [0] + [int(j) for j in jumps] + [n]
+
+    def fit(a: int, b: int):
+        """Fit vals[a:b]; returns full-degree coeffs or None."""
+        if b - a == 1:  # single sample (e.g. the table-top edge): constant
+            return np.array([vals[a]] + [0.0] * CHEB_DEG)
+        deg = min(CHEB_DEG, b - a - 1)
+        x = np.linspace(-1.0, 1.0, b - a)
+        c = C.chebfit(x, vals[a:b], deg)
+        err = C.chebval(x, c) - vals[a:b]
+        if np.max(np.abs(np.cumsum(err))) * dh > cum_tol:
+            return None
+        return np.concatenate([c, np.zeros(CHEB_DEG + 1 - len(c))])
+
+    segments = []
+    stack = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)][::-1]
+    while stack:
+        a, b = stack.pop()
+        if len(segments) + len(stack) >= max_segments:
+            return None
+        c = fit(a, b)
+        if c is None:
+            if b - a < 4:
+                return None
+            mid = (a + b) // 2
+            stack.extend([(mid, b), (a, mid)])
+            continue
+        segments.append(
+            (float(hs[a]), float(hs[b - 1]), tuple(float(v) for v in c))
+        )
+    return tuple(segments)
+
+
+def eval_l_poly(poly: Tuple, h: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate piecewise-Chebyshev l(h) — pure VPU math, zero gathers.
+
+    Works identically under jit and inside Pallas kernels (the coefficients
+    are compile-time constants). Queries clamp to the fitted range, matching
+    ``lookup``'s clamp semantics.
+    """
+    h = jnp.clip(h, poly[0][0], poly[-1][1])
+    out = jnp.zeros_like(h)
+    for k, (lo, hi, coeffs) in enumerate(poly):
+        # zero-width segments exist (single-sample edge pieces)
+        t = jnp.clip((h - lo) / max(hi - lo, 1e-30) * 2.0 - 1.0, -1.0, 1.0)
+        # Clenshaw recurrence
+        b1 = jnp.zeros_like(t)
+        b2 = jnp.zeros_like(t)
+        for c in coeffs[:0:-1]:
+            b1, b2 = c + 2.0 * t * b1 - b2, b1
+        val = coeffs[0] + t * b1 - b2
+        if k == len(poly) - 1:
+            mask = h >= lo
+        else:
+            mask = (h >= lo) & (h < poly[k + 1][0])
+        out = jnp.where(mask, val, out)
+    return out
 
 
 def _acceleration(
@@ -157,6 +258,124 @@ def initial_slope(
     if shape.is_flat:
         return t
     return (1.0 + alt / shape.radius) * t
+
+
+def _straight_dense(
+    alt: jnp.ndarray,  # [B]
+    elev_rad: jnp.ndarray,  # [B]
+    step: float,
+    n_steps: int,
+    shape: EarthShape,
+) -> jnp.ndarray:
+    """Closed-form straight-ray altitudes [N+1, B] — no integration at all.
+
+    Flat: h = h0 + tan(e)·x. Sphere: the chord's polar equation gives
+    r(φ) = (R+h0)·cos(e)/cos(e+φ) with φ = x/R (x = surface arc length);
+    past e+φ = 90° the chord recedes to infinity — clamped to a huge
+    altitude so crossing detection sees open sky.
+    """
+    x = jnp.arange(n_steps + 1, dtype=jnp.float32)[:, None] * jnp.float32(step)
+    if shape.is_flat:
+        return alt[None, :] + jnp.tan(elev_rad)[None, :] * x
+    r = jnp.float32(shape.radius)
+    phi = x / r
+    c = jnp.cos(elev_rad + phi)  # [N+1, B]
+    # cancellation-free form of r0·cos(e)/cos(e+φ) − R in f32:
+    #   h = h0 + r0·(cos e − cos(e+φ))/cos(e+φ),
+    #   cos e − cos(e+φ) = 2·sin(e+φ/2)·sin(φ/2)
+    # keeps every factor O(h−h0) instead of O(R) (f32 eps at R is ~0.5 m)
+    num = 2.0 * jnp.sin(elev_rad + 0.5 * phi) * jnp.sin(0.5 * phi)
+    h = alt[None, :] + (r + alt)[None, :] * num / jnp.where(c <= 1e-9, 1.0, c)
+    return jnp.where(c <= 1e-9, jnp.float32(1e9), h)
+
+
+def _march_nodes_pallas(
+    alt: jnp.ndarray,  # [B]
+    v0: jnp.ndarray,  # [B]
+    dx: float,
+    n_coarse: int,
+    poly: Tuple,
+    radius: Optional[float],
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RK4 node integration as ONE Pallas kernel: [Nc+1, B] (h, v) nodes.
+
+    The XLA scan pays heavy per-iteration dispatch overhead regardless of
+    work (the state is a few [B] vectors), so hundreds of coarse steps cost
+    tens of ms. In-kernel, the whole march is one launch, and l(h) is the
+    compiled piecewise-Chebyshev form — pure VPU math, no gathers (Mosaic's
+    dynamic_gather cannot span more than one vreg, so a VMEM lookup table
+    is not an option).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = 128
+    rb = 8  # sublane rows per grid block → 1024 rays/block
+    b = alt.shape[0]
+    block = rb * lanes
+    bp = -(-b // block) * block
+    h2 = jnp.pad(alt, (0, bp - b)).reshape(-1, lanes)  # [SB, 128]
+    v2 = jnp.pad(v0, (0, bp - b)).reshape(-1, lanes)
+    dxf = float(dx)
+
+    def kernel(h_ref, v_ref, oh_ref, ov_ref):
+        def accel(h, v, l):
+            if radius is None:
+                return l * (1.0 + v * v)
+            inv_r = 1.0 / radius
+            u = 1.0 + h * inv_r
+            return l * (u * u + v * v) + (u * u + 2.0 * v * v) / u * inv_r
+
+        oh_ref[0] = h_ref[:]
+        ov_ref[0] = v_ref[:]
+
+        def body(k, carry):
+            h, v = carry
+            # stage altitudes predicted from the carried slope (see the XLA
+            # scan path for the error analysis); one fused 3-row eval
+            hq = jnp.concatenate([h, h + (0.5 * dxf) * v, h + dxf * v], axis=0)
+            ls = eval_l_poly(poly, hq)
+            l1, l2, l4 = ls[:rb], ls[rb : 2 * rb], ls[2 * rb :]
+            k1v = accel(h, v, l1)
+            k1h = v
+            k2h = v + 0.5 * dxf * k1v
+            k2v = accel(h + 0.5 * dxf * k1h, k2h, l2)
+            k3h = v + 0.5 * dxf * k2v
+            k3v = accel(h + 0.5 * dxf * k2h, k3h, l2)
+            k4h = v + dxf * k3v
+            k4v = accel(h + dxf * k3h, k4h, l4)
+            h_new = h + dxf / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
+            v_new = v + dxf / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+            oh_ref[k + 1] = h_new
+            ov_ref[k + 1] = v_new
+            return h_new, v_new
+
+        jax.lax.fori_loop(0, n_coarse, body, (h_ref[:], v_ref[:]))
+
+    sb_total = bp // lanes
+    oh, ov = pl.pallas_call(
+        kernel,
+        grid=(sb_total // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_coarse + 1, rb, lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_coarse + 1, rb, lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_coarse + 1, sb_total, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_coarse + 1, sb_total, lanes), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h2, v2)
+    h_nodes = oh.reshape(n_coarse + 1, bp)[:, :b]
+    v_nodes = ov.reshape(n_coarse + 1, bp)[:, :b]
+    return h_nodes, v_nodes
 
 
 def march_rays(
@@ -206,43 +425,66 @@ def march_rays(
     dx = jnp.float32(step * coarse)
 
     bend = table is not None and not straight
+    if not bend:
+        # straight rays have closed forms — no integration, no scan
+        h_fine = _straight_dense(alt, elev_rad, step, n_steps, shape)
+        return _finish_march(h_fine, step, radius, with_path_length)
 
-    def body(carry, _):
-        h, v = carry
-        if bend:
-            # ONE batched l(h) gather per step: stage altitudes are predicted
+    import os as _os
+
+    if (
+        _os.environ.get("ATM_RAYTRACER_PALLAS_MARCH") == "1"
+        and jax.default_backend() == "tpu"
+        and table.poly is not None
+        and elev_rad.ndim == 1
+    ):
+        # one-launch Pallas march — opt-in: correct (interpret-mode parity
+        # test) but the remote AOT Mosaic toolchain compiles the fori_loop
+        # body per-iteration (~1s/step), which makes cold starts impractical
+        # on this deployment; the XLA scan with the gather-free poly eval is
+        # the default
+        h_nodes, v_nodes = _march_nodes_pallas(
+            alt, v0, float(step) * coarse, n_coarse, table.poly, radius
+        )
+    else:
+        def body(carry, _):
+            h, v = carry
+            # ONE batched l(h) eval per step: stage altitudes are predicted
             # from the carried slope (h + 0.5·dx·v, h + dx·v). The true stage
             # arguments differ by O(dx²·h'') ≈ centimeters, and l(h) enters
             # multiplied by small curvature terms, so the induced error is
-            # far below the integrator tolerance — while gather *launches*,
-            # not bytes, bound the scan's per-step cost on TPU.
-            ls = table.lookup(
-                jnp.stack([h, h + (0.5 * dx) * v, h + dx * v], axis=0)
-            )
+            # far below the integrator tolerance — while per-step gather
+            # *launches*, not bytes, bound the scan's cost on TPU.
+            hq = jnp.stack([h, h + (0.5 * dx) * v, h + dx * v], axis=0)
+            if table.poly is not None:
+                ls = eval_l_poly(table.poly, hq)
+            else:
+                ls = table.lookup(hq)
             l1, l2, l4 = ls[0], ls[1], ls[2]
-        else:
-            l1 = l2 = l4 = None
-        k1v = _acceleration(h, v, table, radius, straight, l_pre=l1)
-        k1h = v
-        k2h = v + 0.5 * dx * k1v
-        k2v = _acceleration(h + 0.5 * dx * k1h, k2h, table, radius, straight, l_pre=l2)
-        k3h = v + 0.5 * dx * k2v
-        k3v = _acceleration(h + 0.5 * dx * k2h, k3h, table, radius, straight, l_pre=l2)
-        k4h = v + dx * k3v
-        k4v = _acceleration(h + dx * k3h, k4h, table, radius, straight, l_pre=l4)
-        h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
-        v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
-        return (h_new, v_new), (h_new, v_new)
+            k1v = _acceleration(h, v, table, radius, straight, l_pre=l1)
+            k1h = v
+            k2h = v + 0.5 * dx * k1v
+            k2v = _acceleration(h + 0.5 * dx * k1h, k2h, table, radius,
+                                straight, l_pre=l2)
+            k3h = v + 0.5 * dx * k2v
+            k3v = _acceleration(h + 0.5 * dx * k2h, k3h, table, radius,
+                                straight, l_pre=l2)
+            k4h = v + dx * k3v
+            k4v = _acceleration(h + dx * k3h, k4h, table, radius, straight,
+                                l_pre=l4)
+            h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
+            v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+            return (h_new, v_new), (h_new, v_new)
 
-    # unroll on TPU: the per-iteration state is a few [B] vectors, so loop
-    # overhead dominates an un-unrolled scan (~70 µs/step measured). On CPU
-    # (tests) the unroll only bloats compile time.
-    unroll = min(8, n_coarse) if jax.default_backend() == "tpu" else 1
-    (_, _), (hs, vs) = jax.lax.scan(
-        body, (alt, v0), None, length=n_coarse, unroll=unroll
-    )
-    h_nodes = jnp.concatenate([alt[None], hs], axis=0)  # [Nc+1, B]
-    v_nodes = jnp.concatenate([v0[None], vs], axis=0)
+        # unroll on TPU: the per-iteration state is a few [B] vectors, so
+        # loop overhead dominates an un-unrolled scan (~140 µs/step
+        # measured). On CPU (tests) the unroll only bloats compile time.
+        unroll = min(8, n_coarse) if jax.default_backend() == "tpu" else 1
+        (_, _), (hs, vs) = jax.lax.scan(
+            body, (alt, v0), None, length=n_coarse, unroll=unroll
+        )
+        h_nodes = jnp.concatenate([alt[None], hs], axis=0)  # [Nc+1, B]
+        v_nodes = jnp.concatenate([v0[None], vs], axis=0)
 
     if coarse == 1:
         h_fine = h_nodes[: n_steps + 1]  # [N+1, B]
@@ -267,20 +509,26 @@ def march_rays(
             axis=0,
         )[: n_steps + 1]  # [N+1, B]
 
+    return _finish_march(h_fine, step, radius, with_path_length)
+
+
+def _finish_march(h_fine, step, radius, with_path_length):
+    """[N+1, B] fine altitudes → ([B, N+1] h, [B, N+1] path length)."""
     h_out = jnp.moveaxis(h_fine, 0, 1)  # [B, N+1]
     if not with_path_length:
         return h_out, jnp.zeros_like(h_out)
     # cumulative path length over the FINE grid — same per-step formula as
     # the reference's calc_dist (utils.rs:42-53), now a vectorized cumsum
     dxf = jnp.float32(step)
-    dh = h_out[:, 1:] - h_out[:, :-1]
+    dh = h_out[..., 1:] - h_out[..., :-1]
     if radius is None:
         seg_len = jnp.sqrt(dxf * dxf + dh * dh)
     else:
-        dx_eff = dxf * ((h_out[:, 1:] + h_out[:, :-1]) * 0.5 + radius) / radius
+        dx_eff = dxf * ((h_out[..., 1:] + h_out[..., :-1]) * 0.5 + radius) / radius
         seg_len = jnp.sqrt(dx_eff * dx_eff + dh * dh)
     p_out = jnp.concatenate(
-        [jnp.zeros((h_out.shape[0], 1), jnp.float32), jnp.cumsum(seg_len, axis=1)],
-        axis=1,
+        [jnp.zeros(h_out.shape[:-1] + (1,), jnp.float32),
+         jnp.cumsum(seg_len, axis=-1)],
+        axis=-1,
     )
     return h_out, p_out

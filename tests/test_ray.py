@@ -188,3 +188,49 @@ def test_coarse_march_parity_duct(table):
     # angle is a bifurcation); a few meters at 200 km is within the fine
     # integrator's own distance from the true solution there
     np.testing.assert_allclose(np.asarray(h_coarse), np.asarray(h_fine), atol=2.5)
+
+
+def test_l_poly_matches_table(table):
+    """The compiled piecewise-Chebyshev l(h) must track the fine table in
+    the ODE-relevant (cumulative-integral) sense across the whole range."""
+    from atm_raytracer_tpu.physics.ray import eval_l_poly
+
+    assert table.poly is not None  # US-76 compiles to a few segments
+    hs = np.linspace(-2100.0, 20100.0, 44001).astype(np.float32)
+    fine = np.asarray(table.lookup(jnp.asarray(hs)), np.float64)
+    pv = np.asarray(eval_l_poly(table.poly, jnp.asarray(hs)), np.float64)
+    cum = np.abs(np.cumsum(pv - fine)).max() * 0.5  # dh of this probe grid
+    assert cum < 1e-7
+
+
+def test_pallas_march_interpret_matches_scan(table):
+    """The Pallas march kernel (one launch, piecewise-Chebyshev l(h), no
+    gathers) must reproduce the XLA scan nodes; interpret mode runs on CPU."""
+    from atm_raytracer_tpu.physics.ray import _march_nodes_pallas, initial_slope
+
+    elev = jnp.deg2rad(jnp.asarray([-0.5, -0.1, 0.0, 0.1, 1.0], jnp.float32))
+    alt = jnp.full_like(elev, 100.0)
+    v0 = initial_slope(alt, elev, SPHERE)
+    hp, vp = _march_nodes_pallas(
+        alt, v0, 400.0, 500, table.poly, R, interpret=True
+    )
+    # XLA scan reference at the same coarse step (also uses table.poly)
+    hs, _ = march_rays(100.0, elev, 400.0, 500, SPHERE, table, False)
+    np.testing.assert_allclose(np.asarray(hp[1:]).T, np.asarray(hs)[:, 1:],
+                               atol=2e-2)
+
+
+def test_straight_dense_flat_and_clamp():
+    from atm_raytracer_tpu.physics.ray import _straight_dense
+
+    elev = jnp.deg2rad(jnp.asarray([1.0], jnp.float32))
+    h = _straight_dense(jnp.float32([50.0]), elev, 100.0, 10, FLAT)
+    np.testing.assert_allclose(
+        np.asarray(h[:, 0]),
+        50.0 + np.tan(np.deg2rad(1.0)) * np.arange(11) * 100.0,
+        rtol=1e-5,
+    )
+    # a chord receding past e+phi=90° clamps to open sky
+    steep = jnp.deg2rad(jnp.asarray([89.9], jnp.float32))
+    h2 = _straight_dense(jnp.float32([0.0]), steep, 50000.0, 10, SPHERE)
+    assert float(np.asarray(h2)[-1, 0]) >= 1e8
