@@ -105,11 +105,12 @@ def separable_hits(
     )  # [W, n_terr]
     terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
 
-    # 3. crossing keys [H, W, K]. The chunked XLA combine fuses into a
-    # min-reduce and is VPU-bound (~tens of ms at 1080p/4000 steps); the
-    # Pallas kernel (combine_pallas) is opt-in via ATM_RAYTRACER_PALLAS=1 —
-    # it adds tile-level early exit but its 128-wide unrolled body compiles
-    # very slowly on remote-AOT toolchains.
+    # 3. crossing segments [H, W, K] (int32). The chunked XLA combine fuses
+    # into sign-test + integer min — the fractional hit position is a
+    # per-PIXEL quantity reconstructed below, keeping division out of the
+    # H·W·N hot cube. The Pallas kernel (combine_pallas) is opt-in via
+    # ATM_RAYTRACER_PALLAS=1 — it adds tile-level early exit but its
+    # 128-wide unrolled body compiles very slowly on remote-AOT toolchains.
     n_seg = n_terr - 1
     if (
         max_hits == 1
@@ -117,25 +118,41 @@ def separable_hits(
         and combine_pallas.supports_pallas()
     ):
         ray_folded = combine_pallas.fold_ray_death(ray_h)
-        keys = combine_pallas.first_crossing_pallas(ray_folded, terr_elev, n_seg)
+        fkeys = combine_pallas.first_crossing_pallas(ray_folded, terr_elev, n_seg)
+        segs = jnp.where(
+            jnp.isfinite(fkeys), jnp.floor(fkeys).astype(jnp.int32),
+            combine.NO_HIT_SEG,
+        )
     else:
-        keys = combine.terrain_crossing_keys(ray_h, terr_elev, n_seg, max_hits)
-    valid = jnp.isfinite(keys)
-    safe_keys = jnp.where(valid, keys, 0.0)
+        segs = combine.terrain_crossing_segments(
+            ray_h, terr_elev, n_seg, max_hits
+        )
+    valid = segs < n_seg
+    ks = jnp.where(valid, segs, 0)
 
     # 4. field gathers (TracingState::interpolate semantics, utils.rs:108-133)
-    # — one stacked gather pass instead of five (contiguous 6-float rows
-    # amortize the random-access cost ~5x)
+    # — paired-endpoint gathers shared between prop reconstruction and the
+    # field lerps (contiguous multi-channel rows amortize the random access)
     stacked = jnp.concatenate(
         [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
         axis=-1,
     )  # [W, N, 6]
-    hit_stack = combine.gather_column_field(stacked, safe_keys)  # [H, W, K, 6]
+    c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 6] ×2
+    ray_stack = jnp.stack([ray_h, path_len], axis=-1)  # [H, N, 2]
+    r_lo, r_hi = combine.gather_ray_pairs(ray_stack, ks)
+    d1 = r_lo[..., 0] - c_lo[..., 2]
+    d2 = r_hi[..., 0] - c_hi[..., 2]
+    denom = d1 - d2
+    prop = d1 / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
+    keys = jnp.where(valid, ks.astype(jnp.float32) + prop, combine.NO_HIT)
+    safe_keys = jnp.where(valid, keys, 0.0)
+
+    hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
     hit_dlat = hit_stack[..., 0]
     hit_dlon = hit_stack[..., 1]
     hit_elev = hit_stack[..., 2]
     hit_normal = hit_stack[..., 3:6]
-    hit_plen = combine.gather_ray_field(path_len, safe_keys)
+    hit_plen = r_lo[..., 1] * (1.0 - prop) + r_hi[..., 1] * prop
     hit_dist = safe_keys * jnp.float32(step)  # dist is linear in the key
 
     h_n, w_n = elev_deg.shape[0], az_deg.shape[0]

@@ -34,6 +34,7 @@ import numpy as np
 import jax.numpy as jnp
 
 NO_HIT = np.float32(np.inf)
+NO_HIT_SEG = np.int32(2**30)  # integer sentinel (segment index form)
 DEATH_ALTITUDE = -1000.0  # utils.rs:167
 
 
@@ -60,14 +61,14 @@ def _merge_topk(keys_a: jnp.ndarray, keys_b: jnp.ndarray, k: int) -> jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "max_hits", "chunk"))
-def terrain_crossing_keys(
+def terrain_crossing_segments(
     ray_h: jnp.ndarray,
     terr_elev: jnp.ndarray,
     n_seg: int,
     max_hits: int = 1,
     chunk: int = 256,
 ) -> jnp.ndarray:
-    """First ``max_hits`` terrain-crossing keys per (ray, column) pixel.
+    """First ``max_hits`` terrain-crossing SEGMENT INDICES per pixel.
 
     Args:
       ray_h: [H, N+1] ray altitudes at x = k*step.
@@ -75,7 +76,13 @@ def terrain_crossing_keys(
       n_seg: number of segments to test (reference: N_t − 1).
       max_hits: K slots (1 for opaque terrain — the common fast path).
 
-    Returns keys [H, W, max_hits] f32 ascending, key = k + prop, inf = no hit.
+    Returns int32 [H, W, max_hits] ascending; NO_HIT_SEG = no crossing.
+
+    The hot cube only computes the sign test and an integer min — the
+    fractional position ``prop = d1/(d1−d2)`` (utils.rs:232) is a per-PIXEL
+    quantity, reconstructed by the caller from the two segment-end values it
+    gathers anyway. That keeps the division and float-iota arithmetic out of
+    the H·W·N loop (~8×10⁹ lanes at 1080p/200 km).
     """
     h_n = ray_h.shape[0]
     w_n = terr_elev.shape[0]
@@ -96,7 +103,7 @@ def terrain_crossing_keys(
     ) < n_seg  # [n_chunks, chunk]
 
     def chunk_body(carry, c):
-        keys = carry  # [H, W, K]
+        keys = carry  # [H, W, K] int32
         k0 = c * chunk
         # segment ends: k0..k0+chunk and k0+1..k0+chunk+1
         r1 = jax.lax.dynamic_slice(ray_h, (0, k0), (h_n, chunk))  # [H, C]
@@ -109,11 +116,10 @@ def terrain_crossing_keys(
         d1 = r1[:, None, :] - t1[None, :, :]  # [H, W, C]
         d2 = r2[:, None, :] - t2[None, :, :]
         crossing = (d1 * d2 < 0.0) & al[:, None, :] & valid_tail[None, None, :]
-        prop = d1 / (d1 - d2)
         seg_idx = (
-            jax.lax.broadcasted_iota(jnp.float32, (1, 1, chunk), 2) + jnp.float32(k0)
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2) + k0
         )
-        cand = jnp.where(crossing, seg_idx + prop, NO_HIT)  # [H, W, C]
+        cand = jnp.where(crossing, seg_idx, NO_HIT_SEG)  # [H, W, C] int32
         if max_hits == 1:
             new = jnp.minimum(keys[..., 0], jnp.min(cand, axis=-1))
             keys = new[..., None]
@@ -122,50 +128,90 @@ def terrain_crossing_keys(
             keys = _merge_topk(keys, -neg_top, max_hits)
         return keys, None
 
-    keys0 = jnp.full((h_n, w_n, max_hits), NO_HIT)
+    keys0 = jnp.full((h_n, w_n, max_hits), NO_HIT_SEG, jnp.int32)
     keys, _ = jax.lax.scan(chunk_body, keys0, jnp.arange(n_chunks))
     return keys
 
 
-def gather_ray_field(field: jnp.ndarray, h_idx_keys: jnp.ndarray) -> jnp.ndarray:
-    """Lerp a per-ray field [H, N+1] at keys [H, W, K] (k + prop).
+def terrain_crossing_keys(
+    ray_h: jnp.ndarray,
+    terr_elev: jnp.ndarray,
+    n_seg: int,
+    max_hits: int = 1,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Float crossing keys k + prop ([H, W, K], inf = no hit).
 
-    Flattened single-take addressing (global index h·(N+1)+k) — one gather
-    for all rows beats a vmapped per-row gather on TPU.
+    Convenience wrapper over ``terrain_crossing_segments`` + per-pixel prop
+    reconstruction (kept for tests and callers that want the key directly).
     """
-    k = jnp.floor(h_idx_keys)
-    prop = h_idx_keys - k
-    n = field.shape[1]
-    ki = jnp.clip(k, 0, n - 2).astype(jnp.int32)
-    h = jax.lax.broadcasted_iota(jnp.int32, h_idx_keys.shape, 0)
-    base = h * (n - 1) + ki
-    # adjacent-pair layout: both lerp endpoints in one 8-byte-row gather
-    pairs = jnp.stack([field[:, :-1], field[:, 1:]], axis=-1).reshape(-1, 2)
-    row = jnp.take(pairs, base, axis=0)
-    return row[..., 0] * (1.0 - prop) + row[..., 1] * prop
+    segs = terrain_crossing_segments(ray_h, terr_elev, n_seg, max_hits, chunk)
+    valid = segs < n_seg
+    ks = jnp.where(valid, segs, 0)
+    prop = crossing_prop(ray_h, terr_elev, ks)
+    return jnp.where(valid, ks.astype(jnp.float32) + prop, NO_HIT)
 
 
-def gather_column_field(field: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
-    """Lerp a per-column field [W, N_t(,D)] at keys [H, W, K].
+def crossing_prop(
+    ray_h: jnp.ndarray,  # [H, N+1]
+    terr_elev: jnp.ndarray,  # [W, N_t]
+    ks: jnp.ndarray,  # [H, W, K] int32 segment indices (already masked safe)
+) -> jnp.ndarray:
+    """prop = d1/(d1−d2) at the given segments (utils.rs:232), per pixel."""
+    r1, r2 = gather_ray_pairs(ray_h, ks)
+    t1, t2 = gather_column_pairs(terr_elev[:, : ray_h.shape[1]], ks)
+    d1 = r1 - t1
+    d2 = r2 - t2
+    denom = d1 - d2
+    return d1 / jnp.where(denom == 0.0, 1.0, denom)
 
-    Flattened single-take addressing (global index w·N_t+k); D-channel
-    fields gather contiguous D-wide rows, amortizing the random access.
+
+def _gather_pairs(field: jnp.ndarray, axis_iota: int, ki: jnp.ndarray):
+    """Both segment-end values of ``field`` rows at integer segments ``ki``.
+
+    field: [R, N(,D)] per-row sequences; ki: [...] int32 with the row index
+    given by ``broadcasted_iota(axis_iota)`` over ki's shape. Adjacent-pair
+    layout puts both endpoints in one contiguous-row gather — TPU gather
+    cost is per launch, not per byte. Returns (lo, hi) shaped ki(+D).
     """
-    k = jnp.floor(keys)
-    prop = keys - k
     n = field.shape[1]
-    ki = jnp.clip(k, 0, n - 2).astype(jnp.int32)
-    w = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
-    base = w * (n - 1) + ki
-    # adjacent-pair layout: both lerp endpoints in one contiguous-row gather
+    r = jax.lax.broadcasted_iota(jnp.int32, ki.shape, axis_iota)
+    base = r * (n - 1) + jnp.clip(ki, 0, n - 2)
     if field.ndim == 3:
         d = field.shape[2]
         pairs = jnp.concatenate(
             [field[:, :-1, :], field[:, 1:, :]], axis=-1
         ).reshape(-1, 2 * d)
         row = jnp.take(pairs, base, axis=0)  # [..., 2D]
-        prop = prop[..., None]
-        return row[..., :d] * (1.0 - prop) + row[..., d:] * prop
+        return row[..., :d], row[..., d:]
     pairs = jnp.stack([field[:, :-1], field[:, 1:]], axis=-1).reshape(-1, 2)
     row = jnp.take(pairs, base, axis=0)
-    return row[..., 0] * (1.0 - prop) + row[..., 1] * prop
+    return row[..., 0], row[..., 1]
+
+
+def gather_ray_pairs(field: jnp.ndarray, ki: jnp.ndarray):
+    """(lo, hi) of a per-ray field [H, N+1(,D)] at segments ki [H, W, K]."""
+    return _gather_pairs(field, 0, ki)
+
+
+def gather_column_pairs(field: jnp.ndarray, ki: jnp.ndarray):
+    """(lo, hi) of a per-column field [W, N_t(,D)] at segments ki [H, W, K]."""
+    return _gather_pairs(field, 1, ki)
+
+
+def gather_ray_field(field: jnp.ndarray, h_idx_keys: jnp.ndarray) -> jnp.ndarray:
+    """Lerp a per-ray field [H, N+1] at float keys [H, W, K] (k + prop)."""
+    k = jnp.floor(h_idx_keys)
+    prop = h_idx_keys - k
+    lo, hi = _gather_pairs(field, 0, k.astype(jnp.int32))
+    return lo * (1.0 - prop) + hi * prop
+
+
+def gather_column_field(field: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
+    """Lerp a per-column field [W, N_t(,D)] at float keys [H, W, K]."""
+    k = jnp.floor(keys)
+    prop = keys - k
+    lo, hi = _gather_pairs(field, 1, k.astype(jnp.int32))
+    if field.ndim == 3:
+        prop = prop[..., None]
+    return lo * (1.0 - prop) + hi * prop
