@@ -274,7 +274,9 @@ def render_fast(params: Params, terrain: Terrain, max_hits: Optional[int] = None
         terrain_alpha=float(params.terrain_alpha),
     )
     return RenderResult(
-        image=np.asarray(image),
+        # fetch FLAT: a [H, W, 3] u8 fetch pays a device-side de-tiling pass
+        # (the minor dim of 3 tiles badly); flat streams at link speed
+        image=np.asarray(image.reshape(-1)).reshape(image.shape),
         # hits stay on device: fetching ~14 fields × H×W×K is pure transfer
         # cost unless metadata is requested (save_metadata np.asarrays them)
         hits=hits,

@@ -101,8 +101,10 @@ def render_fast_sharded(
     jitted = jax.jit(lambda pk, tb, ob, el, az: core(pk, tb, ob, el, az, float(alt0)))
     image, hits = jitted(pack_r, table_r, obj_r, elev_r, az_s)
 
-    image = np.asarray(image)[:, :true_w]
-    hits = jax.tree.map(lambda x: np.asarray(x)[:, :true_w], hits)
+    image = (
+        np.asarray(image.reshape(-1)).reshape(image.shape)[:, :true_w]
+    )  # flat fetch: [H, W, 3] u8 de-tiles on device otherwise
+    hits = jax.tree.map(lambda x: x[:, :true_w], hits)  # device-resident
     return RenderResult(
         image=image,
         hits=hits,
@@ -196,7 +198,8 @@ def render_sweep_sharded(
         fog_distance=params.view.fog_distance,
         terrain_alpha=float(params.terrain_alpha),
     )
-    return np.asarray(images)[:f]
+    # flat fetch (u8 frames de-tile on device otherwise), reshape on host
+    return np.asarray(images.reshape(-1)).reshape(images.shape)[:f]
 
 
 # module-level jit (NOT a per-call closure: a fresh jit wrapper every sweep

@@ -100,25 +100,29 @@ def main():
     # NOTE: pack/table must be jit ARGUMENTS — captured device arrays get
     # embedded as HLO constants and serialized through the TPU tunnel at
     # lowering time (~minutes for the 200 MB mosaic).
+    # the image leaves the device FLAT: fetching a [H, W, 3] u8 array pays a
+    # device-side de-tiling pass (~40 ms — the minor dim of 3 tiles badly);
+    # a flat u8 vector streams at link speed and reshapes on host for free
     jitted = jax.jit(
-        lambda pk, tb, el, az: core(pk, tb, None, el, az, float(alt0))
+        lambda pk, tb, el, az: core(pk, tb, None, el, az, float(alt0))[0].reshape(-1)
     )
     el = jnp.asarray(elev_deg, jnp.float32)
     az = jnp.asarray(az_deg, jnp.float32)
 
     # warmup / compile
-    image, _ = jitted(pack, table, el, az)
+    image = jitted(pack, table, el, az)
     np.asarray(image)
 
     # block_until_ready is unreliable over the remote-TPU tunnel (returns
     # before execution); perturb inputs per run and force a device->host
-    # transfer of the image to measure true completion (transfer of the
-    # 6 MB u8 frame is ~10 ms, included — a real renderer pays it too).
+    # transfer of the image to measure true completion (the 6 MB u8 frame
+    # streams over the dev tunnel at ~45 MB/s — a real deployment pays PCIe
+    # instead; the cost is included either way).
     times = []
     for i in range(3):
         el_i = el + np.float32(i) * np.float32(1e-7)
         t0 = time.perf_counter()
-        image, _hits = jitted(pack, table, el_i, az)
+        image = jitted(pack, table, el_i, az)
         np.asarray(image)
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
