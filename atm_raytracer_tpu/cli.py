@@ -15,6 +15,26 @@ import time
 from pathlib import Path
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first render of a given frame shape
+    compiles (tens of seconds on TPU); later CLI invocations reuse it."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "ATM_RAYTRACER_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "atm_raytracer_tpu", "jax",
+        ),
+    )
+    if cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax without the knobs — run uncached
+
+
 def _add_gen_parser(subparsers):
     p = subparsers.add_parser("gen", help="Render a panorama", add_help=False)
     p.add_argument("--help", action="help")
@@ -119,6 +139,7 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    _enable_compilation_cache()
 
     parser = argparse.ArgumentParser(prog="atm-raytracer",
                                      description="Atmospheric Panorama Raytracer (TPU)")
