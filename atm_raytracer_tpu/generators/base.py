@@ -16,7 +16,6 @@ are reconstructed on host when writing metadata.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import numpy as np

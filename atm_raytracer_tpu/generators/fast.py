@@ -17,7 +17,6 @@ the refraction table.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 import os
@@ -33,7 +32,7 @@ from ..models.earth import EarthModel
 from ..ops import combine, combine_pallas
 from ..ops.composite import composite
 from ..physics.ray import EarthShape, RefractionTable, march_rays
-from ..terrain.sample import sample_elevation, sample_terrain_data
+from ..terrain.sample import sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult
 from ..ops.objects import ObjectSet, object_hits_fast, merge_hits

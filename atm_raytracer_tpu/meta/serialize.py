@@ -12,14 +12,12 @@ preserved.
 
 from __future__ import annotations
 
-import dataclasses
-import io
 from typing import Tuple
 
 import numpy as np
 import yaml
 
-from ..config import Config, Params
+from ..config import Config
 from ..generators.base import HitBuffer, RenderResult
 
 FORMAT_VERSION = 1

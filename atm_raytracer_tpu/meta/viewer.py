@@ -16,8 +16,6 @@ Two modes:
 
 from __future__ import annotations
 
-import math
-import sys
 from typing import Optional
 
 import numpy as np

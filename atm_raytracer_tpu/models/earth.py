@@ -35,7 +35,7 @@ TPU-first redesign notes (vs the reference's trait objects + f64):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

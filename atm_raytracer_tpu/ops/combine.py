@@ -27,7 +27,6 @@ segment k of ray h participates iff no j < k had ray_h[h, j] < −1000.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -41,7 +41,7 @@ built by ``physics.ray.RefractionTable.build``.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 
