@@ -105,19 +105,24 @@ def run_view(path, pixel=None, save_image: Optional[str] = None) -> int:
     if save_image:
         return 0
 
-    # interactive mode
+    # interactive mode (backend init can fail at several points headless —
+    # matplotlib defers the real framework check to figure creation)
     try:
+        import os as _os
+
+        if not (_os.environ.get("DISPLAY") or _os.environ.get("WAYLAND_DISPLAY")):
+            raise RuntimeError("no DISPLAY")
         import matplotlib
 
         matplotlib.use("TkAgg")
         import matplotlib.pyplot as plt
+
+        fig, (ax_img, ax_info) = plt.subplots(
+            1, 2, figsize=(12.8, 8.0), gridspec_kw={"width_ratios": [4, 1]}
+        )
     except Exception as e:  # headless fallback
         print(f"No display available ({e}); use --pixel X Y or --save-image.")
         return 1
-
-    fig, (ax_img, ax_info) = plt.subplots(
-        1, 2, figsize=(12.8, 8.0), gridspec_kw={"width_ratios": [4, 1]}
-    )
     ax_img.imshow(image)
     ax_img.set_title(str(path))
     ax_info.axis("off")
