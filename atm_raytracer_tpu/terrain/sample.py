@@ -70,7 +70,7 @@ def sample_elevation(
     rf = r - ri.astype(jnp.float32)
     cf = c - ci.astype(jnp.float32)
 
-    s = pack.tiles.shape[1]
+    s = pack.tile_s or pack.tiles.shape[1]
     base = t * (s * s) + ri * s + ci
     if pack.quad is not None:
         # one 8-byte-row gather delivers the whole 2×2 footprint (int16

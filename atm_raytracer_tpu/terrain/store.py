@@ -205,6 +205,7 @@ class Terrain:
         elif not shapes:
             uniform = (1.0, 1.0)
         quad = None
+        tiles_dev = stack
         if dtype == np.int16:
             # quad-pack: quad[t, r, c] holds the full 2×2 bilinear footprint
             # rooted at (r, c) as two int32 lanes —
@@ -222,8 +223,12 @@ class Terrain:
             quad = jnp.asarray(
                 np.stack([row, down], axis=-1).astype(np.int32)
             )  # [T, S, S, 2]
+            # the quad pack fully supersedes the raw tiles on device; keep
+            # only a [T, 1, 1] stub (tile size travels via aux `tile_s`)
+            tiles_dev = stack[:, :1, :1]
         return TerrainPack(
-            tiles=jnp.asarray(stack),
+            tiles=jnp.asarray(tiles_dev),
+            tile_s=s,
             rows_m1=jnp.asarray(rows_m1),
             cols_m1=jnp.asarray(cols_m1),
             lat_min=lat_lo,
@@ -248,7 +253,7 @@ class TerrainPack:
     per-point scale-factor gathers.
     """
 
-    tiles: jnp.ndarray  # [n_rows*n_cols, S, S] int16 or f32
+    tiles: jnp.ndarray  # [T, S, S] int16/f32, or a [T, 1, 1] stub when quad set
     rows_m1: jnp.ndarray  # [n_rows*n_cols] f32 (mixed-resolution fallback)
     cols_m1: jnp.ndarray  # [n_rows*n_cols] f32
     lat_min: int  # static: floor latitude of grid row 0
@@ -257,11 +262,13 @@ class TerrainPack:
     n_cols: int  # static
     uniform: Optional[Tuple[float, float]]  # static (rows−1, cols−1) or None
     quad: Optional[jnp.ndarray] = None  # [T, S, S, 2] int32 2×2-footprint pack
+    tile_s: int = 0  # static padded tile side S (tiles may be a stub)
 
     def tree_flatten(self):
         return (
             (self.tiles, self.rows_m1, self.cols_m1, self.quad),
-            (self.lat_min, self.lon_min, self.n_rows, self.n_cols, self.uniform),
+            (self.lat_min, self.lon_min, self.n_rows, self.n_cols,
+             self.uniform, self.tile_s),
         )
 
     @classmethod
@@ -269,5 +276,5 @@ class TerrainPack:
         return cls(
             children[0], children[1], children[2],
             lat_min=aux[0], lon_min=aux[1], n_rows=aux[2], n_cols=aux[3],
-            uniform=aux[4], quad=children[3],
+            uniform=aux[4], quad=children[3], tile_s=aux[5],
         )
