@@ -80,6 +80,7 @@ class Terrain:
     def __init__(self):
         self._paths: Dict[Tuple[int, int], Path] = {}
         self._loaded: Dict[Tuple[int, int], Tile] = {}
+        self._pack_cache: Dict[tuple, "TerrainPack"] = {}
 
     @staticmethod
     def from_folder(folder) -> "Terrain":
@@ -163,6 +164,12 @@ class Terrain:
             for lo in range(lon_lo, lon_hi + 1)
             if (la, lo) in self._paths or (la, lo) in self._loaded
         ]
+        # memoize: repeat renders/sweeps must reuse the device-resident
+        # mosaic (re-uploading hundreds of MB per call dwarfs the render)
+        cache_key = (lat_lo, lat_hi, lon_lo, lon_hi, tuple(keys))
+        cached = self._pack_cache.get(cache_key)
+        if cached is not None:
+            return cached
         tiles = [self._tile(k) for k in keys]
         # dense grid over the PRESENT tiles' bounding box: slot (r, c) =
         # r * n_cols + c, missing tiles stay all-zero (the reference's
@@ -226,7 +233,7 @@ class Terrain:
             # the quad pack fully supersedes the raw tiles on device; keep
             # only a [T, 1, 1] stub (tile size travels via aux `tile_s`)
             tiles_dev = stack[:, :1, :1]
-        return TerrainPack(
+        result = TerrainPack(
             tiles=jnp.asarray(tiles_dev),
             tile_s=s,
             rows_m1=jnp.asarray(rows_m1),
@@ -238,6 +245,8 @@ class Terrain:
             uniform=uniform,
             quad=quad,
         )
+        self._pack_cache[cache_key] = result
+        return result
 
 
 @jax.tree_util.register_pytree_node_class
