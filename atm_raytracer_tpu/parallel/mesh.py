@@ -120,9 +120,16 @@ def render_sweep_sharded(
     mesh: Mesh,
     directions_deg: Sequence[float],
     altitudes_m: Optional[Sequence[float]] = None,
+    atmospheres: Optional[Sequence] = None,
     max_hits: Optional[int] = None,
 ):
-    """Batched sweep: F frames over (direction, altitude), frame-sharded.
+    """Batched sweep: F frames over (direction, altitude, atmosphere),
+    frame-sharded (BASELINE configs[4]: azimuth/altitude/refraction-profile
+    parameter sweeps in one vmapped launch).
+
+    atmospheres: optional per-frame ``AtmosphereDef``s; their l(h) tables
+    stack into a [F, n] batch (the compiled-polynomial form is per-table
+    static, so batched sweeps use the table-gather march path).
 
     Returns images [F, H, W, 3] uint8 (hits are kept on device and dropped —
     a sweep's product is the frames; per-frame metadata re-renders use
@@ -158,7 +165,35 @@ def render_sweep_sharded(
     coslat = max(0.2, math.cos(math.radians(pos.latitude)))
     lon_rng = (pos.longitude - d_deg / coslat, pos.longitude + d_deg / coslat)
     pack = terrain.pack(lat_rng, lon_rng)
-    table = fast_mod.build_refraction_table(params, float(alts.max()))
+    table_axes = None
+    if atmospheres is None:
+        table = fast_mod.build_refraction_table(params, float(alts.max()))
+    else:
+        assert len(atmospheres) == f, "one AtmosphereDef per frame"
+        import dataclasses as _dc2
+
+        from ..physics.atmosphere import Atmosphere
+        from ..physics.ray import RefractionTable
+
+        tables = [
+            fast_mod.build_refraction_table(
+                _dc2.replace(params, atmosphere=Atmosphere(a)), float(alts.max())
+            )
+            for a in atmospheres
+        ]
+        if pad:
+            tables.extend([tables[-1]] * pad)
+        n_min = min(int(t.values.shape[0]) for t in tables)
+        table = RefractionTable(
+            h0=tables[0].h0,
+            inv_dh=tables[0].inv_dh,
+            values=jnp.stack([t.values[:n_min] for t in tables]),
+            pairs=jnp.stack([t.pairs[: n_min - 1] for t in tables]),
+            poly=None,  # per-frame polys aren't batchable (static aux)
+        )
+        table_axes = RefractionTable(
+            h0=None, inv_dh=None, values=0, pairs=0, poly=None
+        )
     n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
@@ -181,11 +216,23 @@ def render_sweep_sharded(
     alt_dev = jax.device_put(jnp.asarray(alts), frames_sharding)
     light_dev = jax.device_put(jnp.asarray(lights), frames_sharding)
     pack_r = jax.device_put(pack, repl)
-    table_r = jax.device_put(table, repl)
+    if table_axes is None:
+        table_r = jax.device_put(table, repl)
+    else:  # frame-batched tables shard with the frames
+        import dataclasses as _dc3
+
+        table_r = _dc3.replace(
+            table,
+            h0=jax.device_put(table.h0, repl),
+            inv_dh=jax.device_put(table.inv_dh, repl),
+            values=jax.device_put(table.values, frames_sharding),
+            pairs=jax.device_put(table.pairs, frames_sharding),
+        )
     obj_r = jax.device_put(objset, repl) if objset is not None else None
     elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
     images = _sweep_device(
         pack_r, table_r, obj_r, elev_r, az_dev, alt_dev, light_dev,
+        batched_table=table_axes is not None,
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -209,16 +256,28 @@ def render_sweep_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
-        "lon0", "coloring", "fog_distance", "terrain_alpha",
+        "batched_table", "model", "shape", "straight", "step", "n_terr",
+        "max_hits", "lat0", "lon0", "coloring", "fog_distance",
+        "terrain_alpha",
     ),
 )
-def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights, **statics):
-    def one_frame(az_row, alt, light):
+def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
+                  batched_table=False, **statics):
+    def one_frame(tab, az_row, alt, light):
         image, _hits = fast_mod.fast_core(
-            pack, table, objset, elev_deg, az_row, alt, light_dir=light,
+            pack, tab, objset, elev_deg, az_row, alt, light_dir=light,
             **statics,
         )
         return image
 
-    return jax.vmap(one_frame)(az_frames, alts, lights)
+    if batched_table:
+        from ..physics.ray import RefractionTable
+
+        tab_axes = RefractionTable(h0=None, inv_dh=None, values=0, pairs=0,
+                                   poly=None)
+        return jax.vmap(one_frame, in_axes=(tab_axes, 0, 0, 0))(
+            table, az_frames, alts, lights
+        )
+    return jax.vmap(one_frame, in_axes=(None, 0, 0, 0))(
+        table, az_frames, alts, lights
+    )

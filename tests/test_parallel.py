@@ -78,3 +78,49 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape == (48, 64, 3)
     g.dryrun_multichip(8)
+
+
+def test_sweep_with_per_frame_atmospheres(setup):
+    """Refraction-profile parameter sweep (BASELINE configs[4]): per-frame
+    atmospheres batch into one launch; a strong-inversion profile must bend
+    rays down more than a convective one and match a single render."""
+    import dataclasses
+
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
+    from atm_raytracer_tpu.physics.atmosphere import (
+        Atmosphere,
+        AtmosphereDef,
+        LinearFunction,
+        us_76,
+    )
+
+    config, terrain, params = setup
+    mesh = make_mesh()
+    strong = AtmosphereDef(
+        first_temperature_function=LinearFunction(0.02),  # inversion: bends down
+        temperature_fixed_point=(0.0, 283.15),
+    )
+    weak = AtmosphereDef(
+        first_temperature_function=LinearFunction(-0.03),  # convective
+        temperature_fixed_point=(0.0, 293.15),
+    )
+    # NB: an earlier test mutates the shared config's direction in place;
+    # compare against whatever the params currently point at
+    d0 = float(params.view.frame.direction)
+    dirs = [d0, d0]
+    frames = render_sweep_sharded(
+        params, terrain, mesh, directions_deg=dirs,
+        atmospheres=[strong, weak],
+    )
+    assert frames.shape[0] == 2
+    assert (frames[0] != frames[1]).any(), "different profiles must differ"
+
+    single = render_fast(
+        dataclasses.replace(params, atmosphere=Atmosphere(strong)), terrain
+    )
+    # same atmosphere -> same frame, modulo the sweep's table-gather vs
+    # poly-eval l(h) path (sub-millimeter ray differences can flip a pixel
+    # at terrain grazing)
+    diff = np.abs(frames[0].astype(int) - single.image.astype(int)).max(-1)
+    assert (diff > 8).mean() < 0.01
