@@ -393,7 +393,8 @@ def render_interpolating(
     az_out = camera.wrap_azimuth_deg(az_out)
 
     return RenderResult(
-        image=np.asarray(image),
+        # flat fetch: [H, W, 3] u8 de-tiles on device otherwise
+        image=np.asarray(image.reshape(-1)).reshape(image.shape),
         hits=hits,  # device-resident; see generators.fast note
         elevation_deg=elev_out,
         azimuth_deg=az_out,
