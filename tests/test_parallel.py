@@ -80,6 +80,30 @@ def test_graft_entry_contract():
     g.dryrun_multichip(8)
 
 
+def test_graft_entry_multichip_from_single_device_env(tmp_path):
+    """Driver-environment simulation: the driver invokes dryrun_multichip(8)
+    in a process with ONE device (the real TPU via axon). The entry point
+    must self-provision a virtual 8-CPU mesh via subprocess, not assert
+    (round-1 failure: MULTICHIP_r01.json rc=1 'need 8 devices, have 1')."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # 1 CPU device, like the driver's 1 TPU
+    env.pop("_ATM_MULTICHIP_CHILD", None)
+    proc = subprocess.run(
+        [sys.executable, str(repo / "__graft_entry__.py"), "multichip", "8"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "dryrun_multichip OK on 8 devices" in proc.stdout
+
+
 def test_sweep_with_per_frame_atmospheres(setup):
     """Refraction-profile parameter sweep (BASELINE configs[4]): per-frame
     atmospheres batch into one launch; a strong-inversion profile must bend
