@@ -87,12 +87,17 @@ def run_gen(args) -> int:
 
     gen = params.output.generator
     phase(f"Generating ({gen})...")
+
+    def progress(pct):
+        # per-percent progress counter, fast.rs:78-87 / rectilinear.rs:40-49
+        phase(f"{pct}%...")
+
     if gen == "Fast":
         result = render_fast(params, terrain)
     elif gen == "Rectilinear":
         from .generators.rectilinear import render_rectilinear
 
-        result = render_rectilinear(params, terrain)
+        result = render_rectilinear(params, terrain, progress=progress)
     elif gen == "InterpolatingRectilinear":
         from .generators.interpolating import render_interpolating
 

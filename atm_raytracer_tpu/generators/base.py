@@ -16,6 +16,7 @@ are reconstructed on host when writing metadata.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import numpy as np
@@ -65,3 +66,22 @@ class RenderResult:
     elevation_deg: np.ndarray  # [H] or [H, W]
     azimuth_deg: np.ndarray  # [W] or [H, W]
     observer: tuple  # (lat0, lon0, alt_abs)
+
+
+@functools.lru_cache(maxsize=None)
+def callbacks_supported() -> bool:
+    """Whether jax.debug.callback works on the active backend.
+
+    Some PJRT transports (e.g. remote-TPU tunnels) reject host send/recv
+    callbacks outright; in-program progress reporting must then degrade to
+    end-of-render. Probed once with a trivial jitted program.
+    """
+    try:
+        def fn(x):
+            jax.debug.callback(lambda v: None, x, ordered=False)
+            return x + 1.0
+
+        np.asarray(jax.jit(fn)(jnp.float32(0.0)))
+        return True
+    except Exception:
+        return False

@@ -233,8 +233,8 @@ _render_fast_device = functools.partial(
 )(fast_core)
 
 
-def render_fast(params: Params, terrain: Terrain, max_hits: Optional[int] = None,
-                progress=None) -> RenderResult:
+def render_fast(params: Params, terrain: Terrain,
+                max_hits: Optional[int] = None) -> RenderResult:
     """Full Fast-generator render from lowered Params (fast.rs:22-98)."""
     out = params.output
     frame = params.view.frame

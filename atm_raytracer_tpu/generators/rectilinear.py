@@ -5,20 +5,31 @@ the Euler-rotated camera basis (rectilinear.rs:78-100), each pixel marching
 its own ray and geodesic lazily (PathIterator, rectilinear.rs:118-186).
 Slowest, exact (README.md:273-279).
 
-TPU shape: all P = H·W rays march in lockstep ([P]-wide RK4 scan); the
-crossing search runs as a scan over march-segment chunks that recomputes the
-per-pixel geodesic and terrain elevation on the fly (closed-form geodesics
-make any (direction, distance) point O(1) — nothing needs to be memoized or
-stored per step). Hit fields (terrain elevation, normals) are reconstructed
-only at the K hit positions instead of every march step, cutting the gather
-volume by ~N/K. Pixels are processed in row-chunks to bound device memory.
+TPU shape, two regimes:
+
+* tilt == 0 (the overwhelmingly common panorama case): with pitch = 0 the
+  Euler chain R_z(yaw)·R_y(0) collapses the per-pixel azimuth to
+  ``direction + atan2(x_off, z_focal)`` — EXACTLY constant along each image
+  column (only the elevation varies per pixel). So the terrain scan is
+  shared per column like the Fast generator ([W, N] gathers instead of
+  [H·W, N] — a ~10³× cut in gather launches, the former hot spot), while
+  every pixel still marches its own exact ray. One jitted program: a
+  ``lax.scan`` over row-chunks, each chunk marching [R·W] rays in lockstep
+  and combining against the shared terrain cache elementwise in w
+  (``combine.aligned_crossing_segments``).
+
+* tilt != 0: the azimuth offset atan2(x, z·cos t − y·sin t) couples both
+  pixel axes, so nothing is shared; each pixel samples terrain along its
+  own geodesic (exact, slow — the reference pays the same coupling). Row
+  chunks run as separate dispatches, which doubles as per-chunk progress.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
+import os
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +41,311 @@ from ..models.earth import EarthModel
 from ..ops import combine
 from ..ops.composite import composite
 from ..ops.objects import ObjectSet, merge_hits, object_hits_pixelwise
-from ..physics.ray import EarthShape, RefractionTable, march_rays
+from ..physics.ray import EarthShape, RefractionTable, march_rays, march_scan
 from ..terrain.sample import sample_elevation, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
-from .base import HitBuffer, RenderResult
+from .base import HitBuffer, RenderResult, callbacks_supported
 from .fast import build_refraction_table, terrain_bbox
+
+
+def _march_coarse(step: float) -> int:
+    return int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
+        1, int(400.0 // step)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tilt == 0, no scene objects: column-shared terrain, fully fused
+# march+combine (the dense [H·W, N] ray grid is never materialized)
+# ---------------------------------------------------------------------------
+
+
+def fused_shared_core(
+    pack: TerrainPack,
+    table: Optional[RefractionTable],
+    elev_hw: jnp.ndarray,  # [H, W] radians
+    az_deg: jnp.ndarray,  # [W]
+    alt0,
+    *,
+    model: EarthModel,
+    shape: EarthShape,
+    straight: bool,
+    step: float,
+    n_terr: int,
+    max_hits: int,
+    lat0: float,
+    lon0: float,
+    coloring,
+    fog_distance: Optional[float],
+    terrain_alpha: float,
+    with_progress: bool = False,
+):
+    """Whole tilt-0 Rectilinear pipeline, march and combine fused.
+
+    ``physics.ray.march_scan`` streams each coarse-RK4 window's fine samples
+    straight into the crossing search, so per-pixel ray altitudes live only
+    as a [H, W, C+1] transient — HBM holds just the per-ray ODE state and
+    the running best-K keys. The terrain scan is the Fast generator's shared
+    per-column cache. Division (prop) runs only on the K selected candidates
+    per window, never in the H·W·C cube (same economy as ops.combine).
+    """
+    n_seg = n_terr - 1
+    coarse = _march_coarse(step)
+    h_n, w_n = elev_hw.shape
+    k = max_hits
+
+    dists = jnp.arange(n_terr, dtype=jnp.float32) * jnp.float32(step)
+    dlat, dlon = model.geodesic_delta(
+        lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
+    )  # [W, n_terr]
+    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+    stacked = jnp.concatenate(
+        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
+        axis=-1,
+    )  # [W, N, 6]
+
+    n_coarse = -(-n_seg // coarse)
+    tpad = n_coarse * coarse + 1 - n_terr
+    terr_pad = (
+        jnp.pad(terr_elev, ((0, 0), (0, tpad)), constant_values=0.0)
+        if tpad > 0 else terr_elev
+    )
+    stride = max(1, n_coarse // 32)
+
+    def consumer(carry, k0, h_f, plen_f, alive):
+        key, plh = carry  # [H, W, K] float keys / hit path lengths
+        c = h_f.shape[1] - 1
+        hw = h_f.reshape(h_n, w_n, c + 1)
+        plw = plen_f.reshape(h_n, w_n, c + 1)
+        t_sl = jax.lax.dynamic_slice(terr_pad, (0, k0), (w_n, c + 1))
+        d1 = hw[..., :-1] - t_sl[None, :, :-1]
+        d2 = hw[..., 1:] - t_sl[None, :, 1:]
+        seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2) + k0
+        crossing = (
+            (d1 * d2 < 0.0) & alive.reshape(h_n, w_n, c) & (seg < n_seg)
+        )
+        cand = jnp.where(crossing, seg, combine.NO_HIT_SEG)
+        if k == 1:
+            pos = jnp.argmin(cand, axis=-1)[..., None]
+            sel = lambda x: jnp.take_along_axis(x, pos, axis=-1)
+            cmin = sel(cand)
+        else:
+            neg, pos = jax.lax.top_k(-cand, k)
+            cmin = -neg
+            sel = lambda x: jnp.take_along_axis(x, pos, axis=-1)
+        d1s = sel(d1)
+        d2s = sel(d2)
+        pl1 = sel(plw[..., :-1])
+        pl2 = sel(plw[..., 1:])
+        denom = d1s - d2s
+        prop = d1s / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
+        found = cmin < combine.NO_HIT_SEG
+        keyc = jnp.where(
+            found, cmin.astype(jnp.float32) + prop, combine.NO_HIT
+        )
+        plc = pl1 * (1.0 - prop) + pl2 * prop
+        if k == 1:
+            better = keyc < key
+            key = jnp.where(better, keyc, key)
+            plh = jnp.where(better, plc, plh)
+        else:
+            all_k = jnp.concatenate([key, keyc], axis=-1)
+            all_p = jnp.concatenate([plh, plc], axis=-1)
+            neg2, idx2 = jax.lax.top_k(-all_k, k)
+            key = -neg2
+            plh = jnp.take_along_axis(all_p, idx2, axis=-1)
+        if with_progress:
+            frac = (k0.astype(jnp.float32) + c) / jnp.float32(n_coarse * coarse)
+            jax.lax.cond(
+                (k0 // coarse) % stride == 0,
+                lambda: jax.debug.callback(_emit_progress, frac, ordered=False),
+                lambda: None,
+            )
+        return key, plh
+
+    key0 = jnp.full((h_n, w_n, k), combine.NO_HIT)
+    plh0 = jnp.zeros((h_n, w_n, k), jnp.float32)
+    key, plh = march_scan(
+        alt0, elev_hw.reshape(-1), step, n_seg, shape, table, straight,
+        consumer, (key0, plh0), coarse=coarse,
+    )
+
+    valid = jnp.isfinite(key)
+    safe = jnp.where(valid, key, 0.0)
+    ks = jnp.floor(safe).astype(jnp.int32)
+    prop = safe - ks.astype(jnp.float32)
+    c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 6]
+    hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
+    rgba = jnp.zeros((h_n, w_n, k, 4), jnp.float32)
+    rgba = rgba.at[..., 3].set(jnp.float32(terrain_alpha))
+    hits = HitBuffer(
+        valid=valid,
+        key=key,
+        dlat=hit_stack[..., 0],
+        dlon=hit_stack[..., 1],
+        distance=safe * jnp.float32(step),
+        elevation=hit_stack[..., 2],
+        path_length=plh,
+        normal=hit_stack[..., 3:6],
+        kind=jnp.zeros((h_n, w_n, k), jnp.int32),
+        rgba=rgba,
+    )
+    image = composite(
+        coloring, fog_distance,
+        hits.valid, hits.rgba[..., 3], hits.distance, hits.elevation,
+        hits.path_length, hits.normal, hits.kind, hits.rgba[..., :3],
+    )
+    return image.reshape(-1), hits
+
+
+_fused_shared_device = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
+        "lon0", "coloring", "fog_distance", "terrain_alpha", "with_progress",
+    ),
+)(fused_shared_core)
+
+
+# ---------------------------------------------------------------------------
+# tilt == 0 with scene objects: column-shared terrain, row-chunked scan
+# (object intersection consumes the dense per-chunk ray grid)
+# ---------------------------------------------------------------------------
+
+
+def shared_column_core(
+    pack: TerrainPack,
+    table: Optional[RefractionTable],
+    objects: Optional[ObjectSet],
+    elev_chunks: jnp.ndarray,  # [n_chunks, R, W] radians
+    az_deg: jnp.ndarray,  # [W]
+    alt0,
+    *,
+    model: EarthModel,
+    shape: EarthShape,
+    straight: bool,
+    step: float,
+    n_terr: int,
+    max_hits: int,
+    lat0: float,
+    lon0: float,
+    coloring,
+    fog_distance: Optional[float],
+    terrain_alpha: float,
+    with_progress: bool = False,
+):
+    """Whole tilt-0 Rectilinear pipeline as one traceable function.
+
+    Returns (images [n_chunks, R·W, 3] u8, hits HitBuffer [n_chunks, R·W, K]).
+    """
+    n_seg = n_terr - 1
+    coarse = _march_coarse(step)
+    n_chunks, r_n, w_n = elev_chunks.shape
+    rw = r_n * w_n
+
+    # shared per-column terrain cache — identical to the Fast generator's
+    # step 2 (utils.rs:176-199): one geodesic + one gather row per column.
+    dists = jnp.arange(n_terr, dtype=jnp.float32) * jnp.float32(step)
+    dlat, dlon = model.geodesic_delta(
+        lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
+    )  # [W, n_terr]
+    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+    stacked = jnp.concatenate(
+        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
+        axis=-1,
+    )  # [W, N, 6]
+    az_flat = jnp.broadcast_to(
+        az_deg.astype(jnp.float32)[None, :], (r_n, w_n)
+    ).reshape(-1)
+
+    def chunk_fn(c, elev_rw):
+        ray_h, path_len = march_rays(
+            alt0, elev_rw.reshape(-1), step, n_seg, shape, table, straight,
+            coarse=coarse,
+        )  # [R·W, n_terr]
+        segs = combine.aligned_crossing_segments(
+            ray_h.reshape(r_n, w_n, n_terr), terr_elev, n_seg, max_hits
+        )  # [R, W, K]
+        valid = segs < n_seg
+        ks = jnp.where(valid, segs, 0)
+
+        # field reconstruction at the K crossings (utils.rs:108-133 semantics,
+        # same paired-endpoint gathers as generators/fast.py step 4)
+        c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [R, W, K, 6]
+        ray_stack = jnp.stack([ray_h, path_len], axis=-1)  # [R·W, N, 2]
+        r_lo, r_hi = combine.gather_ray_pairs(
+            ray_stack, ks.reshape(rw, max_hits)
+        )
+        r_lo = r_lo.reshape(r_n, w_n, max_hits, 2)
+        r_hi = r_hi.reshape(r_n, w_n, max_hits, 2)
+        d1 = r_lo[..., 0] - c_lo[..., 2]
+        d2 = r_hi[..., 0] - c_hi[..., 2]
+        denom = d1 - d2
+        prop = d1 / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
+        keys = jnp.where(valid, ks.astype(jnp.float32) + prop, combine.NO_HIT)
+        safe_keys = jnp.where(valid, keys, 0.0)
+
+        hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
+        rgba = jnp.zeros((r_n, w_n, max_hits, 4), jnp.float32)
+        rgba = rgba.at[..., 3].set(jnp.float32(terrain_alpha))
+        hits = HitBuffer(
+            valid=valid.reshape(rw, max_hits),
+            key=keys.reshape(rw, max_hits),
+            dlat=hit_stack[..., 0].reshape(rw, max_hits),
+            dlon=hit_stack[..., 1].reshape(rw, max_hits),
+            distance=(safe_keys * jnp.float32(step)).reshape(rw, max_hits),
+            elevation=hit_stack[..., 2].reshape(rw, max_hits),
+            path_length=(
+                r_lo[..., 1] * (1.0 - prop) + r_hi[..., 1] * prop
+            ).reshape(rw, max_hits),
+            normal=hit_stack[..., 3:6].reshape(rw, max_hits, 3),
+            kind=jnp.zeros((rw, max_hits), jnp.int32),
+            rgba=rgba.reshape(rw, max_hits, 4),
+        )
+        if objects is not None:
+            obj_hits = object_hits_pixelwise(
+                objects, model, lat0, lon0, step, n_terr,
+                ray_h, path_len, az_flat,
+            )
+            hits = merge_hits(hits, obj_hits, max_hits + obj_hits.key.shape[-1])
+        image = composite(
+            coloring, fog_distance,
+            hits.valid, hits.rgba[..., 3], hits.distance, hits.elevation,
+            hits.path_length, hits.normal, hits.kind, hits.rgba[..., :3],
+        )
+        if with_progress:
+            jax.debug.callback(_emit_progress, (c + 1) / n_chunks, ordered=False)
+        return c + 1, (image, hits)
+
+    _, (images, hits) = jax.lax.scan(
+        chunk_fn, jnp.int32(0), elev_chunks
+    )
+    return images, hits
+
+
+_shared_column_device = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
+        "lon0", "coloring", "fog_distance", "terrain_alpha", "with_progress",
+    ),
+)(shared_column_core)
+
+
+# progress sink for jax.debug.callback — module-level so the traced callback
+# is a stable hashable; the actual reporter is installed per render call.
+_progress_sink: Optional[Callable[[int], None]] = None
+
+
+def _emit_progress(frac) -> None:
+    sink = _progress_sink
+    if sink is not None:
+        sink(int(round(float(frac) * 100.0)))
+
+
+# ---------------------------------------------------------------------------
+# tilt != 0: exact per-pixel geodesics (no sharing possible)
+# ---------------------------------------------------------------------------
 
 
 def pixelwise_hits(
@@ -59,11 +370,7 @@ def pixelwise_hits(
     """Hits for P independent (elevation, azimuth) rays."""
     p_n = elev_rad.shape[0]
     n_seg = n_terr - 1
-    import os as _os
-
-    coarse = int(_os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
-        1, int(400.0 // step)
-    )
+    coarse = _march_coarse(step)
     ray_h, path_len = march_rays(
         alt0, elev_rad, step, n_seg, shape, table, straight, coarse=coarse
     )  # [P, n_terr]
@@ -106,7 +413,7 @@ def pixelwise_hits(
 
     # hit-field reconstruction at the K crossings only
     k = jnp.floor(safe)
-    prop = (safe - k)[..., None] if False else (safe - k)
+    prop = safe - k
     d_lo = k * step
     d_hi = (k + 1.0) * step
     dl1, dn1 = model.geodesic_delta(lat0, lon0, dir_col, d_lo)
@@ -165,11 +472,29 @@ _rectilinear_chunk = functools.partial(
 )(rectilinear_core)
 
 
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+
+def _auto_chunk_rows(width: int, height: int, n_terr: int) -> int:
+    """Row-chunk size bounding the dense per-chunk march at ~1 GB f32."""
+    budget = int(os.environ.get("ATM_RAYTRACER_RECT_CHUNK_ELEMS", str(250_000_000)))
+    r = max(1, budget // max(1, width * n_terr))
+    return int(min(height, r))
+
+
 def render_rectilinear(
     params: Params, terrain: Terrain, max_hits: Optional[int] = None,
-    chunk_rows: int = 64,
+    chunk_rows: Optional[int] = None,
+    progress: Optional[Callable[[int], None]] = None,
 ) -> RenderResult:
-    """Full Rectilinear render (rectilinear.rs:24-60), row-chunked."""
+    """Full Rectilinear render (rectilinear.rs:24-60), row-chunked.
+
+    ``progress`` (if given) receives whole-percent completion values, the
+    TPU analog of the reference's per-percent pixel counter
+    (rectilinear.rs:40-49).
+    """
     out = params.output
     frame = params.view.frame
     pos = params.view.position
@@ -185,51 +510,115 @@ def render_rectilinear(
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
     objset = ObjectSet.build(params, terrain) if params.objects else None
-
     h, w = out.height, out.width
-    elev_flat = jnp.asarray(elev_rad.reshape(-1), jnp.float32)
-    dir_flat = jnp.asarray(np.rad2deg(dir_rad).reshape(-1), jnp.float32)
-    p_total = h * w
-    chunk = chunk_rows * w
-    pad = (-p_total) % chunk
-    if pad:
-        elev_flat = jnp.concatenate([elev_flat, jnp.zeros((pad,), jnp.float32)])
-        dir_flat = jnp.concatenate([dir_flat, jnp.zeros((pad,), jnp.float32)])
 
-    images = []
-    hit_parts = []
-    for c0 in range(0, p_total + pad, chunk):
-        img_c, hits_c = _rectilinear_chunk(
-            pack, table, objset,
-            jax.lax.dynamic_slice(elev_flat, (c0,), (chunk,)),
-            jax.lax.dynamic_slice(dir_flat, (c0,), (chunk,)),
-            float(alt0),
-            model=params.model,
-            shape=params.model.to_shape(),
-            straight=params.straight_rays,
-            step=float(params.simulation_step),
-            n_terr=n_terr,
-            max_hits=int(max_hits),
-            lat0=float(pos.latitude),
-            lon0=float(pos.longitude),
-            coloring=params.coloring,
-            fog_distance=params.view.fog_distance,
-            terrain_alpha=float(params.terrain_alpha),
+    static_kwargs = dict(
+        model=params.model,
+        shape=params.model.to_shape(),
+        straight=params.straight_rays,
+        step=float(params.simulation_step),
+        n_terr=n_terr,
+        max_hits=int(max_hits),
+        lat0=float(pos.latitude),
+        lon0=float(pos.longitude),
+        coloring=params.coloring,
+        fog_distance=params.view.fog_distance,
+        terrain_alpha=float(params.terrain_alpha),
+    )
+
+    if frame.tilt == 0.0:
+        # exact column-constant azimuth: direction + atan2(x_off, z_focal)
+        # (rectilinear.rs:78-100 at pitch 0)
+        x = (np.arange(w) - w // 2).astype(np.float64)
+        z = w / 2.0 / np.tan(np.deg2rad(frame.fov) / 2.0)
+        az_col = frame.direction + np.rad2deg(np.arctan2(x, z))  # [W]
+        az_dev = jnp.asarray(az_col, jnp.float32)
+
+        with_progress = progress is not None and callbacks_supported()
+        global _progress_sink
+        _progress_sink = progress
+        try:
+            if objset is None:
+                image_flat, hits = _fused_shared_device(
+                    pack, table,
+                    jnp.asarray(elev_rad, jnp.float32),
+                    az_dev,
+                    float(alt0),
+                    with_progress=with_progress,
+                    **static_kwargs,
+                )
+                image = np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+            else:
+                r_rows = chunk_rows or _auto_chunk_rows(w, h, n_terr)
+                n_chunks = -(-h // r_rows)
+                pad_rows = n_chunks * r_rows - h
+                elev_p = np.concatenate(
+                    [elev_rad, np.broadcast_to(elev_rad[-1:], (pad_rows, w))],
+                    axis=0,
+                ) if pad_rows else elev_rad
+                elev_chunks = jnp.asarray(
+                    elev_p.reshape(n_chunks, r_rows, w), jnp.float32
+                )
+                images, hits = _shared_column_device(
+                    pack, table, objset,
+                    elev_chunks,
+                    az_dev,
+                    float(alt0),
+                    with_progress=with_progress,
+                    **static_kwargs,
+                )
+                image = np.asarray(images.reshape(-1))[: h * w * 3].reshape(
+                    h, w, 3
+                )
+                hits = jax.tree.map(
+                    lambda x: x.reshape(
+                        (n_chunks * r_rows * w,) + x.shape[2:]
+                    )[: h * w].reshape((h, w) + x.shape[2:]),
+                    hits,
+                )
+        finally:
+            _progress_sink = None
+        if progress is not None and not with_progress:
+            progress(100)  # backend rejects host callbacks; report completion
+    else:
+        r_rows = chunk_rows or 64
+        elev_flat = jnp.asarray(elev_rad.reshape(-1), jnp.float32)
+        dir_flat = jnp.asarray(np.rad2deg(dir_rad).reshape(-1), jnp.float32)
+        p_total = h * w
+        chunk = r_rows * w
+        pad = (-p_total) % chunk
+        if pad:
+            elev_flat = jnp.concatenate([elev_flat, jnp.zeros((pad,), jnp.float32)])
+            dir_flat = jnp.concatenate([dir_flat, jnp.zeros((pad,), jnp.float32)])
+
+        images = []
+        hit_parts = []
+        n_chunks = (p_total + pad) // chunk
+        for i, c0 in enumerate(range(0, p_total + pad, chunk)):
+            img_c, hits_c = _rectilinear_chunk(
+                pack, table, objset,
+                jax.lax.dynamic_slice(elev_flat, (c0,), (chunk,)),
+                jax.lax.dynamic_slice(dir_flat, (c0,), (chunk,)),
+                float(alt0),
+                **static_kwargs,
+            )
+            images.append(img_c)
+            hit_parts.append(hits_c)
+            if progress is not None:
+                jax.block_until_ready(img_c)
+                progress(int((i + 1) * 100 / n_chunks))
+
+        # concatenate on DEVICE; only the final u8 image crosses to host (hit
+        # buffers stay device-resident — see generators.fast note)
+        image = np.asarray(
+            jnp.concatenate(images, axis=0)[:p_total].reshape(-1)
+        ).reshape(h, w, 3)
+        hits = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:p_total].reshape(
+                (h, w) + xs[0].shape[1:]
+            ),
+            *hit_parts,
         )
-        images.append(img_c)
-        hit_parts.append(hits_c)
-
-    # concatenate on DEVICE; only the final u8 image crosses to host (hit
-    # buffers stay device-resident — see generators.fast note)
-    image = np.asarray(
-        jnp.concatenate(images, axis=0)[:p_total].reshape(h, w, 3)
-    )
-    hits = jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, axis=0)[:p_total].reshape(
-            (h, w) + xs[0].shape[1:]
-        ),
-        *hit_parts,
-    )
     return RenderResult(
         image=image,
         hits=hits,

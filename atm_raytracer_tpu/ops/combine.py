@@ -32,9 +32,10 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from ..physics.ray import DEATH_ALTITUDE  # utils.rs:167
+
 NO_HIT = np.float32(np.inf)
 NO_HIT_SEG = np.int32(2**30)  # integer sentinel (segment index form)
-DEATH_ALTITUDE = -1000.0  # utils.rs:167
 
 
 def ray_alive_mask(ray_h: jnp.ndarray) -> jnp.ndarray:
@@ -128,6 +129,73 @@ def terrain_crossing_segments(
         return keys, None
 
     keys0 = jnp.full((h_n, w_n, max_hits), NO_HIT_SEG, jnp.int32)
+    keys, _ = jax.lax.scan(chunk_body, keys0, jnp.arange(n_chunks))
+    return keys
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "max_hits", "chunk"))
+def aligned_crossing_segments(
+    ray_h: jnp.ndarray,
+    terr_elev: jnp.ndarray,
+    n_seg: int,
+    max_hits: int = 1,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Crossing segments when ray rows are ALIGNED with terrain columns.
+
+    The Rectilinear generator at tilt = 0 has a per-pixel ray but a
+    per-COLUMN azimuth (rectilinear.rs:78-100 with pitch = 0 reduces the
+    per-pixel direction to ``direction + atan2(x, z)``), so pixel (r, w)
+    tests its own ray against column w's shared terrain scan — elementwise
+    in w, not the [H, W] outer product of ``terrain_crossing_segments``.
+
+    Args:
+      ray_h: [R, W, N+1] ray altitudes (R rows of the current row-chunk).
+      terr_elev: [W, N_t] terrain elevations on the same x grid.
+      n_seg: segments to test.
+      max_hits: K slots.
+
+    Returns int32 [R, W, max_hits] ascending; NO_HIT_SEG = no crossing.
+    """
+    r_n, w_n, n_samp = ray_h.shape
+    alive = ray_alive_mask(ray_h.reshape(r_n * w_n, n_samp)).reshape(
+        r_n, w_n, n_samp - 1
+    )
+
+    n_chunks = -(-n_seg // chunk)
+    pad = n_chunks * chunk + 1 - n_samp
+    if pad > 0:
+        ray_h = jnp.pad(ray_h, ((0, 0), (0, 0), (0, pad)), constant_values=-1e9)
+        alive = jnp.pad(alive, ((0, 0), (0, 0), (0, pad)), constant_values=False)
+    tpad = n_chunks * chunk + 1 - terr_elev.shape[1]
+    if tpad > 0:
+        terr_elev = jnp.pad(terr_elev, ((0, 0), (0, tpad)), constant_values=0.0)
+
+    seg_valid_tail = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 0) * chunk
+        + jax.lax.broadcasted_iota(jnp.int32, (n_chunks, chunk), 1)
+    ) < n_seg
+
+    def chunk_body(keys, c):
+        k0 = c * chunk
+        r1 = jax.lax.dynamic_slice(ray_h, (0, 0, k0), (r_n, w_n, chunk))
+        r2 = jax.lax.dynamic_slice(ray_h, (0, 0, k0 + 1), (r_n, w_n, chunk))
+        t1 = jax.lax.dynamic_slice(terr_elev, (0, k0), (w_n, chunk))
+        t2 = jax.lax.dynamic_slice(terr_elev, (0, k0 + 1), (w_n, chunk))
+        al = jax.lax.dynamic_slice(alive, (0, 0, k0), (r_n, w_n, chunk))
+        d1 = r1 - t1[None, :, :]
+        d2 = r2 - t2[None, :, :]
+        crossing = (d1 * d2 < 0.0) & al & seg_valid_tail[c][None, None, :]
+        seg_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2) + k0
+        cand = jnp.where(crossing, seg_idx, NO_HIT_SEG)
+        if max_hits == 1:
+            keys = jnp.minimum(keys[..., 0], jnp.min(cand, axis=-1))[..., None]
+        else:
+            neg_top, _ = jax.lax.top_k(-cand, max_hits)
+            keys = _merge_topk(keys, -neg_top, max_hits)
+        return keys, None
+
+    keys0 = jnp.full((r_n, w_n, max_hits), NO_HIT_SEG, jnp.int32)
     keys, _ = jax.lax.scan(chunk_body, keys0, jnp.arange(n_chunks))
     return keys
 

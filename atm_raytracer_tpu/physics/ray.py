@@ -49,6 +49,8 @@ import numpy as np
 
 from .atmosphere import Atmosphere
 
+DEATH_ALTITUDE = -1000.0  # path-death rule threshold (utils.rs:167)
+
 
 @dataclasses.dataclass(frozen=True)
 class EarthShape:
@@ -250,6 +252,133 @@ def _acceleration(
     return l * (u * u + v * v) + geom
 
 
+def _rk4_step(h, v, dx, table, radius, straight):
+    """One classic RK4 step of the ray ODE on state vectors (h, h').
+
+    ONE batched l(h) eval per step: stage altitudes are predicted from the
+    carried slope (h + 0.5·dx·v, h + dx·v). The true stage arguments differ
+    by O(dx²·h'') ≈ centimeters, and l(h) enters multiplied by small
+    curvature terms, so the induced error is far below the integrator
+    tolerance — while per-step gather *launches*, not bytes, bound a scan's
+    cost on TPU (moot for the poly path, kept for the table path).
+    """
+    bend = table is not None and not straight
+    if bend:
+        hq = jnp.stack([h, h + (0.5 * dx) * v, h + dx * v], axis=0)
+        if table.poly is not None:
+            ls = eval_l_poly(table.poly, hq)
+        else:
+            ls = table.lookup(hq)
+        l1, l2, l4 = ls[0], ls[1], ls[2]
+    else:
+        l1 = l2 = l4 = None
+    k1v = _acceleration(h, v, table, radius, straight, l_pre=l1)
+    k1h = v
+    k2h = v + 0.5 * dx * k1v
+    k2v = _acceleration(h + 0.5 * dx * k1h, k2h, table, radius,
+                        straight, l_pre=l2)
+    k3h = v + 0.5 * dx * k2v
+    k3v = _acceleration(h + 0.5 * dx * k2h, k3h, table, radius,
+                        straight, l_pre=l2)
+    k4h = v + dx * k3v
+    k4v = _acceleration(h + dx * k3h, k4h, table, radius, straight,
+                        l_pre=l4)
+    h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
+    v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+    return h_new, v_new
+
+
+def march_scan(
+    alt: jnp.ndarray,
+    elev_rad: jnp.ndarray,
+    step: float,
+    n_steps: int,
+    shape: EarthShape,
+    table: Optional[RefractionTable],
+    straight: bool,
+    consumer,
+    init_carry,
+    coarse: int = 1,
+):
+    """Fused fixed-step march: stream Hermite fine-grid windows to a consumer.
+
+    Unlike ``march_rays`` this never materializes the [B, N] dense altitude
+    grid (33 GB at 1080p/200 km — the HBM wall of a per-pixel generator).
+    Each ``lax.scan`` iteration advances one coarse RK4 step and immediately
+    hands the consumer that window's fine samples:
+
+        carry = consumer(carry, k0, h_f, plen_f, alive)
+
+    * ``k0`` — traced int32, global fine index of the window start (multiple
+      of ``coarse``);
+    * ``h_f`` / ``plen_f`` — [B, C+1] fine altitudes / cumulative path
+      lengths at indices k0..k0+C (windows overlap by one sample; dense
+      output is the same value+slope cubic Hermite as ``march_rays``, path
+      length the same calc_dist cumsum — utils.rs:42-53);
+    * ``alive`` — [B, C]: segment j participates iff no sample with global
+      index < k0+j fell below DEATH_ALTITUDE (the path-death rule,
+      utils.rs:159-171; identical semantics to ops.combine.ray_alive_mask).
+
+    Integrates ceil(n_steps/coarse)·coarse steps — the consumer masks the
+    tail (k0 + j >= n_steps). Returns the final consumer carry.
+    """
+    elev_rad = jnp.asarray(elev_rad, jnp.float32)
+    alt = jnp.broadcast_to(jnp.asarray(alt, jnp.float32), elev_rad.shape)
+    v0 = initial_slope(alt, elev_rad, shape)
+    radius = shape.radius
+    coarse = max(1, min(int(coarse), n_steps))
+    n_coarse = -(-n_steps // coarse)
+    dx = jnp.float32(step * coarse)
+    dxf = jnp.float32(step)
+
+    # cubic Hermite basis sampled on the fine grid t = j/C, j = 0..C
+    t = (jnp.arange(coarse + 1, dtype=jnp.float32) / jnp.float32(coarse))[None, :]
+    t2 = t * t
+    t3 = t2 * t
+    b00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    b10 = t3 - 2.0 * t2 + t
+    b01 = -2.0 * t3 + 3.0 * t2
+    b11 = t3 - t2
+
+    def body(carry, i):
+        h, v, plen, dead, user = carry
+        h1, v1 = _rk4_step(h, v, dx, table, radius, straight)
+        h_f = (
+            b00 * h[:, None] + b10 * (v * dx)[:, None]
+            + b01 * h1[:, None] + b11 * (v1 * dx)[:, None]
+        )  # [B, C+1]
+        dh = h_f[:, 1:] - h_f[:, :-1]
+        if radius is None:
+            seg_len = jnp.sqrt(dxf * dxf + dh * dh)
+        else:
+            dx_eff = dxf * ((h_f[:, 1:] + h_f[:, :-1]) * 0.5 + radius) / radius
+            seg_len = jnp.sqrt(dx_eff * dx_eff + dh * dh)
+        plen_f = jnp.concatenate(
+            [plen[:, None], plen[:, None] + jnp.cumsum(seg_len, axis=-1)],
+            axis=-1,
+        )
+        dead_local = h_f[:, :-1] < jnp.float32(DEATH_ALTITUDE)  # k0..k0+C-1
+        pref = jnp.cumsum(dead_local.astype(jnp.int32), axis=-1)
+        no_prior = jnp.concatenate(
+            [jnp.zeros_like(pref[:, :1]), pref[:, :-1]], axis=-1
+        )
+        alive = (~dead)[:, None] & (no_prior == 0)
+        user = consumer(user, i * coarse, h_f, plen_f, alive)
+        dead = dead | (pref[:, -1] > 0)
+        return (h1, v1, plen_f[:, -1], dead, user), None
+
+    carry0 = (
+        alt, v0,
+        jnp.zeros(alt.shape, jnp.float32),
+        jnp.zeros(alt.shape, bool),
+        init_carry,
+    )
+    (_, _, _, _, user), _ = jax.lax.scan(
+        body, carry0, jnp.arange(n_coarse)
+    )
+    return user
+
+
 def initial_slope(
     alt: jnp.ndarray, elev_rad: jnp.ndarray, shape: EarthShape
 ) -> jnp.ndarray:
@@ -449,31 +578,7 @@ def march_rays(
     else:
         def body(carry, _):
             h, v = carry
-            # ONE batched l(h) eval per step: stage altitudes are predicted
-            # from the carried slope (h + 0.5·dx·v, h + dx·v). The true stage
-            # arguments differ by O(dx²·h'') ≈ centimeters, and l(h) enters
-            # multiplied by small curvature terms, so the induced error is
-            # far below the integrator tolerance — while per-step gather
-            # *launches*, not bytes, bound the scan's cost on TPU.
-            hq = jnp.stack([h, h + (0.5 * dx) * v, h + dx * v], axis=0)
-            if table.poly is not None:
-                ls = eval_l_poly(table.poly, hq)
-            else:
-                ls = table.lookup(hq)
-            l1, l2, l4 = ls[0], ls[1], ls[2]
-            k1v = _acceleration(h, v, table, radius, straight, l_pre=l1)
-            k1h = v
-            k2h = v + 0.5 * dx * k1v
-            k2v = _acceleration(h + 0.5 * dx * k1h, k2h, table, radius,
-                                straight, l_pre=l2)
-            k3h = v + 0.5 * dx * k2v
-            k3v = _acceleration(h + 0.5 * dx * k2h, k3h, table, radius,
-                                straight, l_pre=l2)
-            k4h = v + dx * k3v
-            k4v = _acceleration(h + dx * k3h, k4h, table, radius, straight,
-                                l_pre=l4)
-            h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
-            v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+            h_new, v_new = _rk4_step(h, v, dx, table, radius, straight)
             return (h_new, v_new), (h_new, v_new)
 
         # unroll on TPU: the per-iteration state is a few [B] vectors, so

@@ -137,3 +137,51 @@ def test_rectilinear_objects(setup, tmp_path):
     assert obj.any(), "object not seen by rectilinear generator"
     ys, xs, _ = np.where(obj)
     assert abs(xs.mean() - 24) < 6  # near the view direction
+
+
+def test_progress_percent_lines(setup):
+    """Per-percent progress (rectilinear.rs:40-49): both code paths report."""
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    seen = []
+    render_rectilinear(params, terrain, progress=seen.append)
+    assert seen, "no progress reported on the fused tilt-0 path"
+    assert max(seen) == 100
+    assert all(0 <= p <= 100 for p in seen)
+
+    # legacy per-pixel path (tilt != 0) reports per row-chunk
+    d = config.to_dict()
+    d["view"]["frame"]["tilt"] = 1.5
+    from atm_raytracer_tpu.config import Config
+
+    params2 = Config.from_dict(d).into_params(terrain)
+    seen2 = []
+    render_rectilinear(params2, terrain, chunk_rows=8, progress=seen2.append)
+    assert seen2 == sorted(seen2) and seen2[-1] == 100 and len(seen2) >= 3
+
+
+def test_fused_matches_legacy_pixelwise(setup):
+    """The fused shared-column program is the same math as the exact
+    per-pixel path: a vanishing tilt (legacy path) must agree with tilt=0
+    (fused path) to sub-step tolerance."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    fused = render_rectilinear(params, terrain)
+
+    d = config.to_dict()
+    d["view"]["frame"]["tilt"] = 1e-5  # forces the per-pixel legacy path
+    params2 = Config.from_dict(d).into_params(terrain)
+    legacy = render_rectilinear(params2, terrain, chunk_rows=16)
+
+    agree = fused.hits.valid[..., 0] == legacy.hits.valid[..., 0]
+    assert agree.mean() > 0.99, agree.mean()
+    both = fused.hits.valid[..., 0] & legacy.hits.valid[..., 0]
+    dd = np.abs(fused.hits.distance[..., 0] - legacy.hits.distance[..., 0])[both]
+    assert np.median(dd) < 55.0  # within one simulation step
+    pl = np.abs(
+        fused.hits.path_length[..., 0] - legacy.hits.path_length[..., 0]
+    )[both]
+    assert np.median(pl) < 60.0
