@@ -66,113 +66,94 @@ def gen_fov_data(width, height, fov, tilt, direction):
 
 
 # ---------------------------------------------------------------------------
-# TracePoint bundles (dict-of-arrays) + reference lerp semantics
+# 16-case interpolation in corner-WEIGHT space
 # ---------------------------------------------------------------------------
-
-_SCALARS = ("dlat", "dlon", "distance", "elevation", "path_length")
-
-
-def _tp_lerp(a: dict, b: dict, coeff: jnp.ndarray) -> dict:
-    """TracePoint::interpolate (generators/mod.rs:32-44) incl. the class-aware
-    PixelColor::interpolate (mod.rs:68-78)."""
-    c = coeff
-    out = {f: a[f] * (1.0 - c) + b[f] * c for f in _SCALARS}
-    out["normal"] = a["normal"] * (1.0 - c[..., None]) + b["normal"] * c[..., None]
-    both_rgba = (a["kind"] == 1) & (b["kind"] == 1)
-    both_terr = (a["kind"] == 0) & (b["kind"] == 0)
-    out["kind"] = jnp.where(both_rgba, 1, 0).astype(jnp.int32)
-    rgb = a["rgba"][..., :3] * (1.0 - c[..., None]) + b["rgba"][..., :3] * c[..., None]
-    alpha_lerp = a["rgba"][..., 3] * (1.0 - c) + b["rgba"][..., 3] * c
-    alpha = jnp.where(
-        both_rgba | both_terr,
-        alpha_lerp,
-        jnp.where(a["kind"] == 0, a["rgba"][..., 3], b["rgba"][..., 3]),
-    )
-    out["rgba"] = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
-    return out
+#
+# TracePoint::interpolate (generators/mod.rs:32-44) and the class-aware
+# PixelColor::interpolate (mod.rs:68-78) special-case mixed-kind pairs — but
+# a trace-point GROUP can never mix kinds (collect_trace_points :213-243
+# groups only entries of equal kind), so within a group every reference lerp
+# chain is a plain LINEAR combination of the ≤4 corner values. Each of the
+# 16 presence cases (interpolating_rectilinear.rs:267-393) therefore reduces
+# to one scalar weight per corner; the full TracePoint never needs to be
+# threaded through the case tree. This is the flat tensor program that
+# replaced the per-group bundle loop (it was ~30× the arithmetic).
 
 
-def _tp_where(mask, a, b):
-    out = {}
-    for f in _SCALARS:
-        out[f] = jnp.where(mask, a[f], b[f])
-    out["normal"] = jnp.where(mask[..., None], a["normal"], b["normal"])
-    out["kind"] = jnp.where(mask, a["kind"], b["kind"])
-    out["rgba"] = jnp.where(mask[..., None], a["rgba"], b["rgba"])
-    return out
+def _interp_weights(present: jnp.ndarray, rem_e: jnp.ndarray, rem_d: jnp.ndarray):
+    """Per-pixel corner weights for the 16-case presence match.
 
-
-def _tp_zeros_like(a):
-    return jax.tree.map(jnp.zeros_like, a)
-
-
-def _interp_group(present, corners, rem_elev, rem_dir):
-    """The 16-case presence match (interpolating_rectilinear.rs:267-393).
-
-    present: [..., 4] bool (SEQUENCE order); corners: list of 4 TracePoint
-    bundles; returns (valid [...], tp bundle).
+    present: [..., 4] bool in SEQUENCE order (e00, e01, e10, e11);
+    rem_e/rem_d: [...] fractional positions. Returns (ok [...], w [..., 4])
+    with w summing to 1 where ok.
     """
-    e00, e01, e10, e11 = corners
-    p00, p01, p10, p11 = (present[..., i] for i in range(4))
-    re, rd = rem_elev, rem_dir
-    zero = _tp_zeros_like(e00)
+    re, rd = rem_e, rem_d
+    one = jnp.ones_like(re)
+    zero = jnp.zeros_like(re)
+    true = jnp.ones_like(re, bool)
 
-    def two_adjacent(a, b, r_elev, r_dir):
-        # :339-350 — valid iff r_elev < 0.5; lerp by r_dir
-        return (r_elev < 0.5), _tp_lerp(a, b, r_dir)
+    def w4(w00=None, w01=None, w10=None, w11=None):
+        return jnp.stack(
+            [zero if w is None else w for w in (w00, w01, w10, w11)], axis=-1
+        )
 
-    def two_diagonal(a, b, r_elev, r_dir):
+    def two_adjacent(ia, ib, r_elev, r_dir):
+        # :339-350 — valid iff r_elev < 0.5; lerp a→b by r_dir
+        kw = {ia: 1.0 - r_dir, ib: r_dir}
+        return (r_elev < 0.5), w4(**{f"w{k}": v for k, v in kw.items()})
+
+    def two_diagonal(ia, ib, r_elev, r_dir):
         # :352-364
         ok = ~(((r_elev >= 0.5) & (r_dir < 0.5)) | ((r_elev < 0.5) & (r_dir >= 0.5)))
         denom = r_elev * r_dir + (1.0 - r_elev) * (1.0 - r_dir)
         coeff = r_elev * r_dir / jnp.maximum(denom, 1e-30)
-        return ok, _tp_lerp(a, b, coeff)
+        kw = {ia: 1.0 - coeff, ib: coeff}
+        return ok, w4(**{f"w{k}": v for k, v in kw.items()})
 
-    def three(a, b, c, r_elev, r_dir):
-        # :366-380
+    def three(ia, ib, ic, r_elev, r_dir):
+        # :366-380 — lerp(lerp(a, b, r_dir), c, t), t = r_elev(1−r_dir)/s
         ok = ~((r_elev >= 0.5) & (r_dir >= 0.5))
         s = 1.0 - r_elev + r_elev * (1.0 - r_dir)
-        interp = _tp_lerp(a, b, r_dir)
-        return ok, _tp_lerp(interp, c, r_elev * (1.0 - r_dir) / jnp.maximum(s, 1e-30))
+        t = r_elev * (1.0 - r_dir) / jnp.maximum(s, 1e-30)
+        kw = {ia: (1.0 - r_dir) * (1.0 - t), ib: r_dir * (1.0 - t), ic: t}
+        return ok, w4(**{f"w{k}": v for k, v in kw.items()})
 
-    def four(a, b, c, d):
-        i1 = _tp_lerp(a, b, rd)
-        i2 = _tp_lerp(c, d, rd)
-        return jnp.ones_like(rd, bool), _tp_lerp(i1, i2, re)
+    def four():
+        # :333 — bilinear
+        return true, w4(
+            (1.0 - rd) * (1.0 - re), rd * (1.0 - re), (1.0 - rd) * re, rd * re
+        )
 
-    # enumerate the 16 presence combinations (index = p00 + 2p01 + 4p10 + 8p11)
-    cases = []
-    f = jnp.zeros_like(re, bool)
-    cases.append((f, zero))  # 0b0000
-    cases.append(((re < 0.5) & (rd < 0.5), e00))  # only e00 (:275-281)
-    cases.append(((re < 0.5) & (rd >= 0.5), e01))  # only e01
-    cases.append(two_adjacent(e00, e01, re, rd))  # e00+e01 (:303)
-    cases.append(((re >= 0.5) & (rd < 0.5), e10))  # only e10
-    cases.append(two_adjacent(e00, e10, rd, re))  # e00+e10 (:306)
-    cases.append(two_diagonal(e01, e10, re, 1.0 - rd))  # e01+e10 (:312)
-    cases.append(three(e00, e01, e10, re, rd))  # e00+e01+e10 (:321)
-    cases.append(((re >= 0.5) & (rd >= 0.5), e11))  # only e11
-    cases.append(two_diagonal(e00, e11, re, rd))  # e00+e11 (:309)
-    cases.append(two_adjacent(e01, e11, 1.0 - rd, re))  # e01+e11 (:315)
-    cases.append(three(e01, e00, e11, re, 1.0 - rd))  # e00+e01+e11 (:324)
-    cases.append(two_adjacent(e10, e11, 1.0 - re, rd))  # e10+e11 (:318)
-    cases.append(three(e00, e11, e10, 1.0 - re, rd))  # e00+e10+e11 (:327)
-    cases.append(three(e11, e10, e01, 1.0 - re, 1.0 - rd))  # e01+e10+e11 (:330)
-    cases.append(four(e00, e01, e10, e11))  # all (:333)
+    # presence-combination table, index = p00 + 2·p01 + 4·p10 + 8·p11
+    # (corner ids: 00="00", 01="01", 10="10", 11="11")
+    cases = [
+        (jnp.zeros_like(re, bool), w4()),                        # none
+        ((re < 0.5) & (rd < 0.5), w4(w00=one)),                  # e00 (:275-281)
+        ((re < 0.5) & (rd >= 0.5), w4(w01=one)),                 # e01
+        two_adjacent("00", "01", re, rd),                        # e00+e01 (:303)
+        ((re >= 0.5) & (rd < 0.5), w4(w10=one)),                 # e10
+        two_adjacent("00", "10", rd, re),                        # e00+e10 (:306)
+        two_diagonal("01", "10", re, 1.0 - rd),                  # e01+e10 (:312)
+        three("00", "01", "10", re, rd),                         # e00+e01+e10 (:321)
+        ((re >= 0.5) & (rd >= 0.5), w4(w11=one)),                # e11
+        two_diagonal("00", "11", re, rd),                        # e00+e11 (:309)
+        two_adjacent("01", "11", 1.0 - rd, re),                  # e01+e11 (:315)
+        three("01", "00", "11", re, 1.0 - rd),                   # e00+e01+e11 (:324)
+        two_adjacent("10", "11", 1.0 - re, rd),                  # e10+e11 (:318)
+        three("00", "11", "10", 1.0 - re, rd),                   # e00+e10+e11 (:327)
+        three("11", "10", "01", 1.0 - re, 1.0 - rd),             # e01+e10+e11 (:330)
+        four(),                                                  # all (:333)
+    ]
 
-    idx = (
-        p00.astype(jnp.int32)
-        + 2 * p01.astype(jnp.int32)
-        + 4 * p10.astype(jnp.int32)
-        + 8 * p11.astype(jnp.int32)
-    )
-    valid = jnp.zeros_like(re, bool)
-    tp = zero
-    for code, (ok, cand) in enumerate(cases):
+    p = present.astype(jnp.int32)
+    idx = p[..., 0] + 2 * p[..., 1] + 4 * p[..., 2] + 8 * p[..., 3]
+    ok = jnp.zeros_like(re, bool)
+    w = w4()
+    for code, (c_ok, c_w) in enumerate(cases):
         m = idx == code
-        valid = jnp.where(m, ok, valid)
-        tp = _tp_where(m, cand, tp)
-    return valid, tp
+        ok = jnp.where(m, c_ok, ok)
+        w = jnp.where(m[..., None], c_w, w)
+    return ok, w
 
 
 def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
@@ -181,8 +162,20 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
 
     grid: HitBuffer [H', W', K]; gi/gj: [H, W] corner indices into the grid;
     rem_e/rem_d: [H, W] fractional positions.
+
+    Grouping (collect_trace_points :213-243 — "join the group of the first
+    earlier entry within one simulation step and of equal kind") runs here as
+    a distance-sorted segmentation: sort the ≤4·K corner entries per pixel by
+    distance once, then break groups where the consecutive gap ≥ step_size or
+    the kind changes. Equivalent for all non-degenerate scenes (both are
+    transitive chains over the same closeness predicate); the reference's
+    corner-major tie-walk can differ only when ≥3 mutually step-close groups
+    interleave. Output groups come out ascending by distance — the order the
+    front-to-back compositor needs (the reference emits creation order, which
+    coincides except in the same degenerate interleavings).
     """
     hp, wp, kg = grid.valid.shape
+    h_n, w_n = gi.shape
     e_n = 4 * kg  # entries per pixel, corner-major (SEQUENCE), slot ascending
 
     def flat(x):
@@ -215,82 +208,76 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
     )
     ent_valid = ent.pop("valid") & in_grid[..., None]
 
-    # -- grouping (collect_trace_points :213-243) ---------------------------
-    root = jnp.full(ent_valid.shape, -1, jnp.int32)
-    for e in range(e_n):
-        v_e = ent_valid[..., e]
-        if e == 0:
-            root = root.at[..., 0].set(jnp.where(v_e, 0, -1))
-            continue
-        best = jnp.full(v_e.shape, e, jnp.int32)  # default: new group
-        for ep in range(e - 1, -1, -1):  # scan backward so first match wins
-            m = (
-                v_e
-                & ent_valid[..., ep]
-                & (jnp.abs(ent["distance"][..., e] - ent["distance"][..., ep])
-                   < step_size)
-                & (ent["kind"][..., e] == ent["kind"][..., ep])
-            )
-            best = jnp.where(m, root[..., ep], best)
-        root = root.at[..., e].set(jnp.where(v_e, best, -1))
+    # -- grouping: sort by distance once, segment on gap/kind breaks --------
+    dist_key = jnp.where(ent_valid, ent["distance"], jnp.inf)
+    order = jnp.argsort(dist_key, axis=-1)  # [H, W, E]
+    d_s = jnp.take_along_axis(dist_key, order, axis=-1)
+    k_s = jnp.take_along_axis(ent["kind"], order, axis=-1)
+    v_s = jnp.take_along_axis(ent_valid, order, axis=-1)
+    brk = (
+        ~v_s[..., 1:]
+        | ((d_s[..., 1:] - d_s[..., :-1]) >= step_size)
+        | (k_s[..., 1:] != k_s[..., :-1])
+    )
+    gid_s = jnp.cumsum(
+        jnp.concatenate([jnp.zeros((h_n, w_n, 1), brk.dtype), brk], axis=-1),
+        axis=-1,
+    )  # [H, W, E] group id in ascending-distance order, 0-based
+    inv = jnp.argsort(order, axis=-1)  # entry e sits at sorted position inv[e]
+    gid = jnp.take_along_axis(gid_s, inv, axis=-1).astype(jnp.int32)
 
-    # -- per group: last entry per corner + 16-case interpolation -----------
-    out_slots = []
-    corner_of = np.repeat(np.arange(4), kg)  # entry → corner
-    for g in range(e_n):
-        member = (root == g) & ent_valid  # [H, W, E]
-        present = []
-        corner_vals = []
-        for c in range(4):
-            idxs = [e for e in range(e_n) if corner_of[e] == c]
-            pres_c = jnp.zeros(member.shape[:2], bool)
-            val_c = {k: jnp.zeros_like(ent[k][..., 0]) if ent[k].ndim == 3
-                     else jnp.zeros_like(ent[k][..., 0, :])
-                     for k in ent}
-            for e in idxs:  # later entries overwrite (match_sequence :245-265)
-                m = member[..., e]
-                pres_c = pres_c | m
-                for kf in ent:
-                    if ent[kf].ndim == 3:
-                        val_c[kf] = jnp.where(m, ent[kf][..., e], val_c[kf])
-                    else:
-                        val_c[kf] = jnp.where(
-                            m[..., None], ent[kf][..., e, :], val_c[kf]
-                        )
-            present.append(pres_c)
-            corner_vals.append(val_c)
-        present = jnp.stack(present, axis=-1)  # [H, W, 4]
-        group_exists = present.any(-1)
-        ok, tp = _interp_group(present, corner_vals, rem_e, rem_d)
-        out_slots.append((group_exists & ok, tp))
+    # -- per output slot g (nearest k_out groups): last-entry-per-corner
+    #    selection (match_sequence :245-265) + weight-space interpolation ----
+    slot_valid, slot_fields = [], []
+    for g in range(k_out):
+        member = ent_valid & (gid == g)  # [H, W, E]
+        m4 = member.reshape(h_n, w_n, 4, kg)
+        present = m4.any(-1)  # [H, W, 4]
+        # one-hot of the LAST member per corner ("later entries overwrite")
+        suffix = jnp.flip(jnp.cumsum(jnp.flip(m4, -1), axis=-1), -1)
+        onehot = (m4 & (suffix == 1)).astype(jnp.float32)  # [H, W, 4, kg]
 
-    # -- pack groups (creation order) into k_out slots ----------------------
-    valid_all = jnp.stack([s[0] for s in out_slots], axis=-1)  # [H, W, E]
-    tp_all = {
-        kf: jnp.stack([s[1][kf] for s in out_slots], axis=2) for kf in out_slots[0][1]
+        def corner_val(x):
+            if x.ndim == 3:
+                return (x.reshape(h_n, w_n, 4, kg) * onehot).sum(-1)
+            d = x.shape[-1]
+            return (
+                x.reshape(h_n, w_n, 4, kg, d) * onehot[..., None]
+            ).sum(-2)  # [H, W, 4, D]
+
+        ok, w = _interp_weights(present, rem_e, rem_d)
+        valid_g = present.any(-1) & ok
+
+        out = {}
+        for name in ("dlat", "dlon", "distance", "elevation", "path_length"):
+            out[name] = (corner_val(ent[name]) * w).sum(-1)
+        out["normal"] = (corner_val(ent["normal"]) * w[..., None]).sum(-2)
+        out["rgba"] = (corner_val(ent["rgba"]) * w[..., None]).sum(-2)
+        # kinds are equal across the group — take any present corner's
+        kind4 = corner_val(ent["kind"].astype(jnp.float32))
+        out["kind"] = jnp.max(
+            jnp.where(present, kind4, 0.0), axis=-1
+        ).astype(jnp.int32)
+        slot_valid.append(valid_g)
+        slot_fields.append(out)
+
+    valid_out = jnp.stack(slot_valid, axis=-1)  # [H, W, k_out]
+    tp = {
+        kf: jnp.stack([s[kf] for s in slot_fields], axis=2)
+        for kf in slot_fields[0]
     }
-    # stable order: invalid slots pushed to the end, creation order kept
-    order = jnp.argsort(jnp.where(valid_all, 0, 1), axis=-1, stable=True)
-    order = order[..., :k_out]
-    valid_out = jnp.take_along_axis(valid_all, order, axis=-1)
-
-    def pick(x):
-        if x.ndim == 3:
-            return jnp.take_along_axis(x, order, axis=-1)
-        return jnp.take_along_axis(x, order[..., None], axis=2)
-
     rank = jnp.cumsum(valid_out.astype(jnp.float32), axis=-1)
     return HitBuffer(
         valid=valid_out,
         key=jnp.where(valid_out, rank, jnp.inf),
-        dlat=pick(tp_all["dlat"]),
-        dlon=pick(tp_all["dlon"]),
-        distance=pick(tp_all["distance"]),
-        elevation=pick(tp_all["elevation"]),
-        path_length=pick(tp_all["path_length"]),
-        normal=pick(tp_all["normal"]),
-        kind=pick(tp_all["kind"]),
-        rgba=pick(tp_all["rgba"]),
+        dlat=tp["dlat"],
+        dlon=tp["dlon"],
+        distance=tp["distance"],
+        elevation=tp["elevation"],
+        path_length=tp["path_length"],
+        normal=tp["normal"],
+        kind=tp["kind"],
+        rgba=tp["rgba"],
     )
 
 
