@@ -258,11 +258,9 @@ class EarthModel:
             return dlat, dlon
         if m.kind in ("Spherical", "ObserverAe"):
             return _sphere_delta_device(m.radius, lat0, lon0, az, dist)
-        # Ellipsoid: Vincenty in f32, absolute minus start.
-        lat, lon = _vincenty_direct(m.a, m.b, lat0, lon0, az, dist, jnp)
-        return (lat - np.float32(lat0)).astype(jnp.float32), (
-            lon - np.float32(lon0)
-        ).astype(jnp.float32)
+        # Ellipsoid: Vincenty in cancellation-free delta form (~cm, like the
+        # other models).
+        return _vincenty_delta_device(m.a, m.b, lat0, az, dist)
 
     # -- normal-sampling offsets ---------------------------------------------------
 
@@ -394,6 +392,85 @@ def _sphere_delta_device(radius, lat0, lon0, az, dist):
     denom = c0 * (1.0 - two_s2) - z0 * sin_s * cos_az
     dlon = jnp.rad2deg(jnp.arctan2(e_comp, denom))
     return dlat, dlon
+
+
+def _vincenty_delta_device(a, b, lat0, az, dist, iters: int = 12):
+    """Vincenty direct in cancellation-free (dlat, dlon) delta form, f32.
+
+    Matches `_vincenty_direct` (directional_calc.rs:103-185) analytically but
+    never forms an absolute latitude/longitude on device, so f32 keeps ~cm
+    precision over 200 km instead of the ~0.5 m quantization of
+    absolute-minus-start.
+
+    Decomposition: with U the reduced latitude (tan U = (1−f) tan φ),
+      dφ = dU + [δ(U₂) − δ(U₁)],   δ(U) ≡ φ(U) − U
+                                        = atan( f sinU cosU / (1 − f cos²U) )
+    (exact identity from φ = atan(tanU/(1−f)) and the atan difference
+    formula — δ is O(f), pole-safe, and evaluated without cancellation).
+    dU comes from the auxiliary-sphere rotation
+      sin U₂ = sinU₁ cosσ + cosU₁ sinσ cosα₁,
+    which is literally the spherical-delta problem — the same
+    1−cosσ = 2sin²(σ/2) expansion as `_sphere_delta_device` applies.
+    dlon = the Vincenty longitude difference L, which the formula already
+    produces as a delta (never add lon0 on device).
+    """
+    f = (a - b) / a
+    u1 = float(np.arctan((1.0 - f) * np.tan(np.deg2rad(np.float64(lat0)))))
+    z0 = np.float32(np.sin(u1))
+    c0 = np.float32(np.cos(u1))
+    tan_u1 = np.float32(np.tan(u1))
+    delta1 = np.float32(
+        np.arctan(f * np.sin(u1) * np.cos(u1) / (1.0 - f * np.cos(u1) ** 2))
+    )
+    f32 = np.float32
+
+    cos_az = jnp.cos(az)
+    sin_az = jnp.sin(az)
+    sig1 = jnp.arctan2(tan_u1, cos_az)
+    sin_alfa = c0 * sin_az
+    cos2 = 1.0 - sin_alfa**2
+    u2c = cos2 * f32((a * a - b * b) / (b * b))
+    cap_a = 1.0 + u2c / 256.0 * (64.0 + u2c * (-12.0 + 5.0 * u2c))
+    cap_b = u2c / 512.0 * (128.0 + u2c * (-64.0 + 37.0 * u2c))
+    cap_c = f32(f / 16.0) * cos2 * (4.0 + f32(f) * (4.0 - 3.0 * cos2))
+
+    base = dist / f32(b) / cap_a
+    sig = base
+    for _ in range(iters):
+        sigm = 2.0 * sig1 + sig
+        dsig = cap_b * jnp.sin(sig) * (
+            jnp.cos(sigm)
+            + cap_b / 4.0 * jnp.cos(sig) * (-1.0 + 2.0 * jnp.cos(sigm) ** 2)
+        )
+        sig = base + dsig
+
+    sin_s = jnp.sin(sig)
+    cos_s = jnp.cos(sig)
+    two_s2 = 2.0 * jnp.sin(sig * 0.5) ** 2  # = 1 − cos σ
+    # ΔsinU = sinU₂ − sinU₁, then sin(dU) via the _sphere_delta_device algebra
+    dz = -z0 * two_s2 + c0 * sin_s * cos_az
+    eps = (2.0 * z0 + dz) * dz / (c0 * c0)
+    eps = jnp.clip(eps, -1.0, None)
+    sin_du = c0 * dz + z0 * c0 * eps / (
+        1.0 + jnp.sqrt(jnp.maximum(1.0 - eps, 0.0))
+    )
+    du = jnp.arcsin(jnp.clip(sin_du, -1.0, 1.0))
+    u2_abs = f32(u1) + du
+    delta2 = jnp.arctan(
+        f32(f) * jnp.sin(u2_abs) * jnp.cos(u2_abs)
+        / (1.0 - f32(f) * jnp.cos(u2_abs) ** 2)
+    )
+    dlat = du + (delta2 - delta1)
+
+    sigm = 2.0 * sig1 + sig
+    lam = jnp.arctan(sin_s * sin_az / (c0 * cos_s - z0 * sin_s * cos_az))
+    dl = lam - (1.0 - cap_c) * f32(f) * sin_alfa * (
+        sig
+        + cap_c * sin_s * (
+            jnp.cos(sigm) + cap_c * cos_s * (-1.0 + 2.0 * jnp.cos(sigm) ** 2)
+        )
+    )
+    return jnp.rad2deg(dlat), jnp.rad2deg(dl)
 
 
 def _vincenty_direct(a, b, lat0, lon0, az_rad, dist, xp, iters: int = 12):

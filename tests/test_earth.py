@@ -50,7 +50,7 @@ def test_flds_delta_matches_host():
 
 
 def test_ellipsoid_delta_matches_host():
-    _check_delta_vs_host(WGS, 1.0)  # f32 absolute-minus-start: ~0.5 m
+    _check_delta_vs_host(WGS, 0.06)  # cancellation-free delta form, like the others
 
 
 def test_vincenty_against_great_circle_limit():
