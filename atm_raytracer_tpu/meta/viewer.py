@@ -90,6 +90,134 @@ def pixel_info(config: Config, result: RenderResult, x: int, y: int) -> str:
     return "\n".join(lines)
 
 
+class ViewerApp:
+    """Interactive pixel-inspection app — event parity with the reference
+    FLTK window (src/viewer/app.rs:272-328): left-drag pans the image,
+    mouse wheel zooms about the cursor (a fixed point stays under it),
+    Space selects the pixel under the cursor, click selects, Esc clears.
+
+    Built on matplotlib's backend-independent event API so the exact same
+    logic runs in a real window (TkAgg) and in tests (Agg + synthetic
+    events, tests/test_viewer.py).
+    """
+
+    ZOOM_STEP = 1.25  # per wheel click (app.rs:291-305 zoom-about-point)
+    CLICK_SLOP = 3.0  # px of motion below which a press+release selects
+
+    def __init__(self, fig, ax_img, ax_info, config, result):
+        self.fig = fig
+        self.ax_img = ax_img
+        self.ax_info = ax_info
+        self.config = config
+        self.result = result
+        self._drag = None  # (x0, y0, xlim0, ylim0) in data coords
+        self._moved = 0.0
+        self.cursor = None  # last (x, y) over the image
+        ax_info.axis("off")
+        self.text = ax_info.text(
+            0.0, 1.0, "Click a pixel (Space selects, drag pans, wheel zooms)",
+            va="top", fontsize=8, family="monospace", wrap=True,
+        )
+        self.marker = ax_img.plot([], [], "r+", markersize=12)[0]
+        for name, cb in (
+            ("button_press_event", self.on_press),
+            ("button_release_event", self.on_release),
+            ("motion_notify_event", self.on_motion),
+            ("scroll_event", self.on_scroll),
+            ("key_press_event", self.on_key),
+        ):
+            fig.canvas.mpl_connect(name, cb)
+
+    # -- selection (space / click — app.rs:279-284,312-318) -----------------
+
+    def select(self, x: float, y: float) -> None:
+        h, w = self.result.image.shape[:2]
+        xi, yi = int(round(x)), int(round(y))
+        if not (0 <= xi < w and 0 <= yi < h):
+            return
+        self.marker.set_data([xi], [yi])
+        self.text.set_text(pixel_info(self.config, self.result, xi, yi))
+        self.fig.canvas.draw_idle()
+
+    def clear(self) -> None:
+        self.marker.set_data([], [])
+        self.text.set_text("Click a pixel (Space selects, drag pans, wheel zooms)")
+        self.fig.canvas.draw_idle()
+
+    # -- drag-pan (app.rs:285-290,319-328) -----------------------------------
+
+    def on_press(self, event):
+        if event.inaxes is not self.ax_img or event.xdata is None:
+            return
+        self._drag = (event.xdata, event.ydata)
+        self._moved = 0.0
+
+    def on_motion(self, event):
+        if event.inaxes is not self.ax_img or event.xdata is None:
+            return
+        self.cursor = (event.xdata, event.ydata)
+        if self._drag is None:
+            return
+        x0, y0 = self._drag
+        # shift the CURRENT limits so the grabbed data point lands back under
+        # the cursor — after set_xlim the cursor maps to (x0, y0) again, so
+        # each motion event's delta is naturally incremental
+        dx = event.xdata - x0
+        dy = event.ydata - y0
+        self._moved += abs(dx) + abs(dy)
+        xlim = self.ax_img.get_xlim()
+        ylim = self.ax_img.get_ylim()
+        self.ax_img.set_xlim(xlim[0] - dx, xlim[1] - dx)
+        self.ax_img.set_ylim(ylim[0] - dy, ylim[1] - dy)
+        self.fig.canvas.draw_idle()
+
+    def on_release(self, event):
+        drag = self._drag
+        self._drag = None
+        if drag is None or event.xdata is None:
+            return
+        if self._moved <= self.CLICK_SLOP:
+            self.select(event.xdata, event.ydata)
+
+    # -- wheel zoom about the cursor (app.rs:291-305) ------------------------
+
+    def on_scroll(self, event):
+        if event.inaxes is not self.ax_img or event.xdata is None:
+            return
+        scale = self.ZOOM_STEP ** (-event.step)  # up = zoom in
+        x, y = event.xdata, event.ydata
+        xlim = self.ax_img.get_xlim()
+        ylim = self.ax_img.get_ylim()
+        self.ax_img.set_xlim(x - (x - xlim[0]) * scale, x + (xlim[1] - x) * scale)
+        self.ax_img.set_ylim(y - (y - ylim[0]) * scale, y + (ylim[1] - y) * scale)
+        self.fig.canvas.draw_idle()
+
+    # -- keys: Space select, Esc clear (app.rs:279-284,306-311) --------------
+
+    def on_key(self, event):
+        if event.key == " " and self.cursor is not None:
+            self.select(*self.cursor)
+        elif event.key == "escape":
+            self.clear()
+
+
+def build_viewer(config, result, title="", backend=None):
+    """Create the figure + ViewerApp (factored out for headless tests)."""
+    import matplotlib
+
+    if backend:
+        matplotlib.use(backend)
+    import matplotlib.pyplot as plt
+
+    fig, (ax_img, ax_info) = plt.subplots(
+        1, 2, figsize=(12.8, 8.0), gridspec_kw={"width_ratios": [4, 1]}
+    )
+    ax_img.imshow(result.image)
+    ax_img.set_title(str(title))
+    app = ViewerApp(fig, ax_img, ax_info, config, result)
+    return fig, app
+
+
 def run_view(path, pixel=None, save_image: Optional[str] = None) -> int:
     config, result = load_metadata(path)
     image = _render_from_metadata(config, result)
@@ -112,40 +240,12 @@ def run_view(path, pixel=None, save_image: Optional[str] = None) -> int:
 
         if not (_os.environ.get("DISPLAY") or _os.environ.get("WAYLAND_DISPLAY")):
             raise RuntimeError("no DISPLAY")
-        import matplotlib
-
-        matplotlib.use("TkAgg")
-        import matplotlib.pyplot as plt
-
-        fig, (ax_img, ax_info) = plt.subplots(
-            1, 2, figsize=(12.8, 8.0), gridspec_kw={"width_ratios": [4, 1]}
-        )
+        fig, _app = build_viewer(config, result, title=path, backend="TkAgg")
     except Exception as e:  # headless fallback
         print(f"No display available ({e}); use --pixel X Y or --save-image.")
         return 1
-    ax_img.imshow(image)
-    ax_img.set_title(str(path))
-    ax_info.axis("off")
-    text = ax_info.text(0.0, 1.0, "Click a pixel", va="top", fontsize=8,
-                        family="monospace", wrap=True)
-    marker = ax_img.plot([], [], "r+", markersize=12)[0]
+    import matplotlib.pyplot as plt
 
-    def on_click(event):
-        if event.inaxes is not ax_img or event.xdata is None:
-            return
-        x, y = int(round(event.xdata)), int(round(event.ydata))
-        marker.set_data([x], [y])
-        text.set_text(pixel_info(config, result, x, y))
-        fig.canvas.draw_idle()
-
-    def on_key(event):
-        if event.key == "escape":
-            marker.set_data([], [])
-            text.set_text("Click a pixel")
-            fig.canvas.draw_idle()
-
-    fig.canvas.mpl_connect("button_press_event", on_click)
-    fig.canvas.mpl_connect("key_press_event", on_key)
     plt.tight_layout()
     plt.show()
     return 0
