@@ -34,9 +34,6 @@ from ..models.earth import EarthModel
 from .combine import NO_HIT
 from ..generators.base import HitBuffer
 
-# window sizes (static): segments along the march / columns across azimuth
-MAX_COL_WINDOW = 512
-
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
