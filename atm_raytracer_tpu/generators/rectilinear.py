@@ -126,9 +126,13 @@ def fused_shared_core(
         )
         cand = jnp.where(crossing, seg, combine.NO_HIT_SEG)
         if k == 1:
-            pos = jnp.argmin(cand, axis=-1)[..., None]
-            sel = lambda x: jnp.take_along_axis(x, pos, axis=-1)
-            cmin = sel(cand)
+            # min + one-hot multiply-sum payload extraction: take_along_axis
+            # lowers to per-lane gathers on TPU (ruinous ×n_coarse in a scan);
+            # candidate segment ids are unique within a window, so the argmin
+            # payload is exactly Σ field·[cand == min] — pure VPU arithmetic.
+            cmin = jnp.min(cand, axis=-1, keepdims=True)  # [H, W, 1]
+            ohf = ((cand == cmin) & crossing).astype(jnp.float32)
+            sel = lambda x: jnp.sum(x * ohf, axis=-1, keepdims=True)
         else:
             neg, pos = jax.lax.top_k(-cand, k)
             cmin = -neg

@@ -251,13 +251,46 @@ def bench_sweep(terrain):
           note="8x720p 360deg sweep ", frames=len(dirs))
 
 
+def bench_generator(terrain, gen: str):
+    """Headline config (1080p/200 km/50 m) through a specific generator —
+    the reference's generator speed-ordering claim (README.md:273-279),
+    measured end to end (host orchestration + device + image fetch)."""
+    from atm_raytracer_tpu.config import Config
+
+    width, height, max_distance, step = 1920, 1080, 200_000.0, 50.0
+    params = Config.from_dict(
+        _view_dict(width, height, 40.0, max_distance, step)
+    ).into_params(terrain)
+    if gen == "Fast":
+        from atm_raytracer_tpu.generators import render_fast as render
+    elif gen == "Rectilinear":
+        from atm_raytracer_tpu.generators.rectilinear import (
+            render_rectilinear as render,
+        )
+    else:
+        from atm_raytracer_tpu.generators.interpolating import (
+            render_interpolating as render,
+        )
+    wall = _timed(lambda: render(params, terrain))
+    _emit(f"generator_{gen}", wall, width, height, max_distance, step,
+          note=f"{gen} 1080p 200km 50m ")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
                         help="run the full BASELINE config matrix")
+    parser.add_argument(
+        "--generator",
+        choices=["Fast", "Rectilinear", "InterpolatingRectilinear"],
+        help="time ONE generator at the headline config and exit",
+    )
     args = parser.parse_args()
 
     terrain = build_terrain(LAT0, LON0, 2.0, 3.0)
+    if args.generator:
+        bench_generator(terrain, args.generator)
+        return
     if args.all:
         bench_small_flat(terrain)
         bench_objects(terrain)
