@@ -118,25 +118,28 @@ def fused_shared_core(
         hw = h_f.reshape(h_n, w_n, c + 1)
         plw = plen_f.reshape(h_n, w_n, c + 1)
         t_sl = jax.lax.dynamic_slice(terr_pad, (0, k0), (w_n, c + 1))
-        d1 = hw[..., :-1] - t_sl[None, :, :-1]
-        d2 = hw[..., 1:] - t_sl[None, :, 1:]
+        d = hw - t_sl[None, :, :]  # one cube pass; segment ends are views
+        d1 = d[..., :-1]
+        d2 = d[..., 1:]
         seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2) + k0
         crossing = (
             (d1 * d2 < 0.0) & alive.reshape(h_n, w_n, c) & (seg < n_seg)
         )
         cand = jnp.where(crossing, seg, combine.NO_HIT_SEG)
+        # min/top-k + one-hot multiply-sum payload extraction: take_along_axis
+        # lowers to per-lane gathers on TPU (ruinous ×n_coarse inside a scan);
+        # candidate segment ids are unique within a window, so the payload at
+        # a selected id is exactly Σ field·[cand == id] — pure VPU arithmetic.
         if k == 1:
-            # min + one-hot multiply-sum payload extraction: take_along_axis
-            # lowers to per-lane gathers on TPU (ruinous ×n_coarse in a scan);
-            # candidate segment ids are unique within a window, so the argmin
-            # payload is exactly Σ field·[cand == min] — pure VPU arithmetic.
             cmin = jnp.min(cand, axis=-1, keepdims=True)  # [H, W, 1]
-            ohf = ((cand == cmin) & crossing).astype(jnp.float32)
-            sel = lambda x: jnp.sum(x * ohf, axis=-1, keepdims=True)
         else:
-            neg, pos = jax.lax.top_k(-cand, k)
+            neg, _ = jax.lax.top_k(-cand, k)
             cmin = -neg
-            sel = lambda x: jnp.take_along_axis(x, pos, axis=-1)
+        ohf = (
+            (cand[..., None, :] == cmin[..., :, None])
+            & crossing[..., None, :]
+        ).astype(jnp.float32)  # [H, W, K, C]
+        sel = lambda x: jnp.sum(x[..., None, :] * ohf, axis=-1)
         d1s = sel(d1)
         d2s = sel(d2)
         pl1 = sel(plw[..., :-1])
@@ -153,11 +156,21 @@ def fused_shared_core(
             key = jnp.where(better, keyc, key)
             plh = jnp.where(better, plc, plh)
         else:
+            # merge with the carry: keys are globally unique per pixel
+            # (disjoint windows), so the same one-hot trick re-pairs the
+            # path lengths with the merged top-k keys; the inf slots all
+            # carry payload 0 so their duplicate matches are harmless.
             all_k = jnp.concatenate([key, keyc], axis=-1)
             all_p = jnp.concatenate([plh, plc], axis=-1)
-            neg2, idx2 = jax.lax.top_k(-all_k, k)
+            neg2, _ = jax.lax.top_k(-all_k, k)
             key = -neg2
-            plh = jnp.take_along_axis(all_p, idx2, axis=-1)
+            oh2 = (all_k[..., None, :] == key[..., :, None]).astype(
+                jnp.float32
+            )  # [H, W, K, 2K]
+            matches = jnp.sum(oh2, axis=-1)
+            plh = jnp.sum(all_p[..., None, :] * oh2, axis=-1) / jnp.maximum(
+                matches, 1.0
+            )
         if with_progress:
             frac = (k0.astype(jnp.float32) + c) / jnp.float32(n_coarse * coarse)
             jax.lax.cond(

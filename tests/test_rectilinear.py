@@ -185,3 +185,27 @@ def test_fused_matches_legacy_pixelwise(setup):
         fused.hits.path_length[..., 0] - legacy.hits.path_length[..., 0]
     )[both]
     assert np.median(pl) < 60.0
+
+
+def test_fused_multi_hit_slots(setup):
+    """K>1 fused path (translucent terrain): ascending unique keys per pixel."""
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    r = render_rectilinear(params, terrain, max_hits=3)
+    valid = np.asarray(r.hits.valid)
+    key = np.asarray(r.hits.key)
+    assert valid.shape[-1] == 3
+    assert valid[..., 0].any()
+    assert valid[..., 1].any(), "no pixel has a second terrain crossing"
+    # keys ascend and invalid slots are +inf
+    k0, k1 = key[..., 0], key[..., 1]
+    both = valid[..., 0] & valid[..., 1]
+    assert (k1[both] > k0[both]).all()
+    assert np.isinf(key[~valid]).all()
+    # slot-0 equals the single-hit render
+    r1 = render_rectilinear(params, terrain, max_hits=1)
+    assert np.allclose(
+        np.asarray(r1.hits.distance[..., 0]), np.asarray(r.hits.distance[..., 0]),
+        atol=1e-3,
+    )
