@@ -281,3 +281,87 @@ def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
     return jax.vmap(one_frame, in_axes=(None, 0, 0, 0))(
         table, az_frames, alts, lights
     )
+
+
+def render_rectilinear_sharded(
+    params: Params,
+    terrain: Terrain,
+    mesh: Mesh,
+    max_hits: Optional[int] = None,
+) -> RenderResult:
+    """tilt-0 Rectilinear with image ROWS sharded over the mesh axis.
+
+    The fused march+combine (generators.rectilinear.fused_shared_core) is
+    elementwise per pixel row — every pixel marches its own ray against the
+    replicated per-column terrain cache — so row sharding partitions the ODE
+    state, the window cubes and the running top-K cleanly, with zero
+    cross-shard communication except the output gather. The per-column
+    terrain cache is recomputed per device (7.7 M gathers — far cheaper than
+    an all-gather of the [W, N, 6] stack over ICI at panorama scales).
+    """
+    from ..generators import rectilinear as rect_mod
+
+    out = params.output
+    frame = params.view.frame
+    pos = params.view.position
+    if frame.tilt != 0.0 or params.objects:
+        raise ValueError(
+            "render_rectilinear_sharded covers the fused tilt-0/no-objects "
+            "path; use render_rectilinear for tilted or object scenes"
+        )
+    alt0 = pos.abs_altitude(terrain)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    h, w = out.height, out.width
+
+    elev_rad, dir_rad = camera.rectilinear_ray_params(
+        out.width, out.height, frame.fov, frame.tilt, frame.direction
+    )
+    x = (np.arange(w) - w // 2).astype(np.float64)
+    z = w / 2.0 / np.tan(np.deg2rad(frame.fov) / 2.0)
+    az_col = frame.direction + np.rad2deg(np.arctan2(x, z))
+
+    pad = (-h) % n_dev
+    elev_p = (
+        np.concatenate([elev_rad, np.broadcast_to(elev_rad[-1:], (pad, w))])
+        if pad else elev_rad
+    )
+
+    lat_rng, lon_rng = fast_mod.terrain_bbox(params)
+    pack = terrain.pack(lat_rng, lon_rng)
+    table = fast_mod.build_refraction_table(params, alt0)
+    n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
+    if max_hits is None:
+        max_hits = 1 if params.terrain_alpha >= 1.0 else 4
+
+    repl = NamedSharding(mesh, P())
+    row_sharding = NamedSharding(mesh, P(axis, None))
+
+    image_flat, hits = rect_mod._fused_shared_device(
+        jax.device_put(pack, repl),
+        jax.device_put(table, repl),
+        jax.device_put(jnp.asarray(elev_p, jnp.float32), row_sharding),
+        jax.device_put(jnp.asarray(az_col, jnp.float32), repl),
+        float(alt0),
+        model=params.model,
+        shape=params.model.to_shape(),
+        straight=params.straight_rays,
+        step=float(params.simulation_step),
+        n_terr=n_terr,
+        max_hits=int(max_hits),
+        lat0=float(pos.latitude),
+        lon0=float(pos.longitude),
+        coloring=params.coloring,
+        fog_distance=params.view.fog_distance,
+        terrain_alpha=float(params.terrain_alpha),
+        with_progress=False,
+    )
+    image = np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+    hits = jax.tree.map(lambda a: a[:h], hits)  # drop padded rows
+    return RenderResult(
+        image=image,
+        hits=hits,
+        elevation_deg=np.rad2deg(elev_rad),
+        azimuth_deg=np.rad2deg(dir_rad),
+        observer=(pos.latitude, pos.longitude, alt0),
+    )

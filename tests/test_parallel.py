@@ -148,3 +148,23 @@ def test_sweep_with_per_frame_atmospheres(setup):
     # at terrain grazing)
     diff = np.abs(frames[0].astype(int) - single.image.astype(int)).max(-1)
     assert (diff > 8).mean() < 0.01
+
+
+def test_rectilinear_sharded_matches_single_chip(setup):
+    """Row-sharded fused Rectilinear is bit-identical to single-chip."""
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.parallel.mesh import (
+        make_mesh,
+        render_rectilinear_sharded,
+    )
+
+    config, terrain, params = setup  # H=40 = 8 devices x 5 rows
+    single = render_rectilinear(params, terrain)
+    sharded = render_rectilinear_sharded(params, terrain, make_mesh())
+    np.testing.assert_array_equal(sharded.image, single.image)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.hits.valid), np.asarray(single.hits.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.hits.key), np.asarray(single.hits.key)
+    )
