@@ -104,3 +104,84 @@ def load_batch(
         max_threads,
     )
     return out, origins, status
+
+
+# -- GeoTIFF loader (native/geotiff_loader.cpp) ------------------------------
+
+_GTIF_PATH = Path(__file__).resolve().parent.parent / "native" / "libgeotiff_loader.so"
+_gtif = None
+
+
+def _load_gtif():
+    global _gtif
+    if _gtif is not None:
+        return _gtif
+    if not _GTIF_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_GTIF_PATH))
+    except OSError:
+        return None
+    lib.gtif_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.gtif_probe.restype = ctypes.c_int
+    lib.gtif_load_batch.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.gtif_load_batch.restype = None
+    _gtif = lib
+    return lib
+
+
+def gtif_available() -> bool:
+    return _load_gtif() is not None
+
+
+def gtif_probe(path) -> Optional[Tuple[int, int]]:
+    """(rows, cols) of a baseline TIFF, or None if not readable natively."""
+    lib = _load_gtif()
+    if lib is None:
+        return None
+    rows = ctypes.c_int()
+    cols = ctypes.c_int()
+    rc = lib.gtif_probe(str(path).encode(), ctypes.byref(rows), ctypes.byref(cols))
+    if rc != 0:
+        return None
+    return rows.value, cols.value
+
+
+def gtif_load_batch(
+    paths: List, rows: int, cols: int, max_threads: int = 8
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode many GeoTIFF tiles in parallel into [n, rows, cols] float32.
+
+    Rows come out SOUTH-first (the Tile orientation — the flip happens in
+    C++, not as a Python copy). Returns (tiles, status[n]) or None if the
+    lib is missing.
+    """
+    lib = _load_gtif()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.zeros((n, rows, cols), np.float32)
+    status = np.zeros(n, np.int32)
+    blob = b"\0".join(str(p).encode() for p in paths) + b"\0"
+    lib.gtif_load_batch(
+        blob,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rows,
+        cols,
+        max_threads,
+    )
+    return out, status

@@ -65,6 +65,14 @@ def _load_tile(path: Path, lat0: int, lon0: int) -> Tile:
             res = native.load_batch([path], n_lat, n_lon)
             if res is not None and res[2][0] == 0:
                 return Tile(lat0=lat0, lon0=lon0, elev=res[0][0])
+    if native.gtif_available():
+        info = native.gtif_probe(path)
+        if info is not None:
+            rows, cols = info
+            res = native.gtif_load_batch([path], rows, cols)
+            if res is not None and res[1][0] == 0:
+                # native decode emits south-first rows already
+                return Tile(lat0=lat0, lon0=lon0, elev=res[0][0])
     try:
         hdr, elev = dted.read_dted(path)
         return Tile(lat0=lat0, lon0=lon0, elev=elev)
@@ -129,6 +137,54 @@ class Terrain:
         self._loaded[key] = tile
         return tile
 
+    def preload(self, keys) -> None:
+        """Batch-load not-yet-loaded tiles through the native loaders.
+
+        Groups tiles by format and decodes each group with ONE threaded
+        native call (one worker per tile, native/dted_loader.cpp +
+        native/geotiff_loader.cpp) — a mosaic of dozens of tiles parses at
+        disk speed instead of serial-Python speed. Tiles the native loaders
+        don't cover fall back to the lazy per-tile path transparently.
+        """
+        missing = [k for k in keys if k not in self._loaded and k in self._paths]
+        if len(missing) < 2:
+            return
+        dted_group = []  # (key, path, rows, cols)
+        gtif_group = []
+        if native.available():
+            for k in missing:
+                info = native.probe(self._paths[k])
+                if info is not None:
+                    dted_group.append((k, self._paths[k], info[2], info[3]))
+        if native.gtif_available():
+            taken = {g[0] for g in dted_group}
+            for k in missing:
+                if k in taken:
+                    continue
+                info = native.gtif_probe(self._paths[k])
+                if info is not None:
+                    gtif_group.append((k, self._paths[k], info[0], info[1]))
+        for group, kind in ((dted_group, "dted"), (gtif_group, "gtif")):
+            if not group:
+                continue
+            rows = max(g[2] for g in group)
+            cols = max(g[3] for g in group)
+            paths = [g[1] for g in group]
+            if kind == "dted":
+                res = native.load_batch(paths, rows, cols)
+                arrs, status = (res[0], res[2]) if res is not None else (None, None)
+            else:
+                res = native.gtif_load_batch(paths, rows, cols)
+                arrs, status = res if res is not None else (None, None)
+            if arrs is None:
+                continue
+            for (k, path, nr, nc), arr, st in zip(group, arrs, status):
+                if st == 0:
+                    print(f"Lazy loading terrain file: {path}")
+                    self._loaded[k] = Tile(
+                        lat0=k[0], lon0=k[1], elev=arr[:nr, :nc].copy()
+                    )
+
     def get_elev(self, lat: float, lon: float) -> Optional[float]:
         """Host bilinear elevation (terrain/mod.rs:120-126)."""
         key = (int(math.floor(lat)), int(math.floor(lon)))
@@ -170,6 +226,7 @@ class Terrain:
         cached = self._pack_cache.get(cache_key)
         if cached is not None:
             return cached
+        self.preload(keys)
         tiles = [self._tile(k) for k in keys]
         # dense grid over the PRESENT tiles' bounding box: slot (r, c) =
         # r * n_cols + c, missing tiles stay all-zero (the reference's

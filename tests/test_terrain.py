@@ -190,3 +190,72 @@ def test_native_loader_matches_python_parser(tmp_path):
     junk = tmp_path / "junk.bin"
     junk.write_bytes(b"not a tile")
     assert native.probe(junk) is None
+
+
+def test_native_geotiff_matches_python_parser(tmp_path):
+    from atm_raytracer_tpu.terrain import native
+
+    if not native.gtif_available():
+        import subprocess, pathlib
+        build = pathlib.Path("atm_raytracer_tpu/native/build.sh")
+        subprocess.run(["sh", str(build)], check=True)
+    assert native.gtif_available()
+    rng = np.random.default_rng(7)
+    grid = rng.integers(-500, 3000, (121, 121)).astype(np.float32)
+    p = tmp_path / "N49E021.tif"
+    write_geotiff(p, grid)  # north-first on disk
+    assert native.gtif_probe(p) == (121, 121)
+    tiles, status = native.gtif_load_batch([p, p], 121, 121, max_threads=2)
+    assert (status == 0).all()
+    expect = read_geotiff(p)[::-1]  # python parser + south-first flip
+    np.testing.assert_array_equal(tiles[0], expect)
+    np.testing.assert_array_equal(tiles[1], expect)
+
+    # Deflate-compressed, big-endian, float32 variant (exercises zlib +
+    # byte-order + sample-format branches of the C++ decoder)
+    import struct, zlib
+    h = w = 33
+    vals = (rng.normal(500, 200, (h, w))).astype(">f4")
+    data = zlib.compress(vals.tobytes())
+    entries = []
+    def entry(tag, type_, count, value):
+        return struct.pack(">HHII", tag, type_, count, value)
+    data_offset = 8 + 2 + 8 * 12 + 4
+    entries.append(entry(256, 4, 1, w))
+    entries.append(entry(257, 4, 1, h))
+    entries.append(entry(258, 3, 1, 32 << 16))
+    entries.append(entry(259, 3, 1, 8 << 16))
+    entries.append(entry(273, 4, 1, data_offset))
+    entries.append(entry(278, 4, 1, h))
+    entries.append(entry(279, 4, 1, len(data)))
+    entries.append(entry(339, 3, 1, 3 << 16))
+    buf = (b"MM" + struct.pack(">HI", 42, 8)
+           + struct.pack(">H", len(entries)) + b"".join(entries)
+           + struct.pack(">I", 0) + data)
+    p2 = tmp_path / "N50E021.tif"
+    p2.write_bytes(buf)
+    assert native.gtif_probe(p2) == (h, w)
+    tiles2, status2 = native.gtif_load_batch([p2], h, w)
+    assert status2[0] == 0
+    expect2 = read_geotiff(p2)[::-1]
+    np.testing.assert_array_equal(tiles2[0], expect2)
+
+    # unsupported compression -> nonzero status (python fallback handles it)
+    junk = tmp_path / "junk.tif"
+    junk.write_bytes(b"II" + struct.pack("<HI", 42, 8) + b"\x00\x00")
+    _, st = native.gtif_load_batch([junk], 4, 4)
+    assert st[0] != 0
+
+
+def test_preload_batches_mixed_formats(tmp_path, capsys):
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    g1 = tile_grid(49, 21, 61)
+    g2 = tile_grid(49, 22, 61)
+    write_dted(tmp_path / "n49_e021.dt2", 49, 21, g1)
+    write_geotiff(tmp_path / "N49E022.tif", g2[::-1])
+    t = Terrain.from_folder(tmp_path)
+    t.preload([(49, 21), (49, 22), (49, 23)])  # (49,23) missing: ignored
+    assert (49, 21) in t._loaded and (49, 22) in t._loaded
+    np.testing.assert_allclose(t._loaded[(49, 21)].elev, g1, atol=0.51)
+    np.testing.assert_allclose(t._loaded[(49, 22)].elev, g2, atol=0.51)
