@@ -133,8 +133,7 @@ def fused_shared_core(
         if k == 1:
             cmin = jnp.min(cand, axis=-1, keepdims=True)  # [H, W, 1]
         else:
-            neg, _ = jax.lax.top_k(-cand, k)
-            cmin = -neg
+            cmin = combine.k_smallest(cand, k)
         ohf = (
             (cand[..., None, :] == cmin[..., :, None])
             & crossing[..., None, :]
@@ -162,8 +161,7 @@ def fused_shared_core(
             # carry payload 0 so their duplicate matches are harmless.
             all_k = jnp.concatenate([key, keyc], axis=-1)
             all_p = jnp.concatenate([plh, plc], axis=-1)
-            neg2, _ = jax.lax.top_k(-all_k, k)
-            key = -neg2
+            key = combine.merge_sorted_k(key, keyc, k)
             oh2 = (all_k[..., None, :] == key[..., :, None]).astype(
                 jnp.float32
             )  # [H, W, K, 2K]
@@ -419,8 +417,9 @@ def pixelwise_hits(
         if max_hits == 1:
             keys = jnp.minimum(keys, jnp.min(cand, axis=-1, keepdims=True))
         else:
-            neg_top, _ = jax.lax.top_k(-cand, max_hits)
-            keys = combine._merge_topk(keys, -neg_top, max_hits)
+            keys = combine.merge_sorted_k(
+                keys, combine.k_smallest(cand, max_hits), max_hits
+            )
         return keys, None
 
     keys0 = jnp.full((p_n, max_hits), combine.NO_HIT)

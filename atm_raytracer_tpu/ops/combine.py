@@ -52,12 +52,55 @@ def ray_alive_mask(ray_h: jnp.ndarray) -> jnp.ndarray:
     return no_prior == 0
 
 
+def k_smallest(cand: jnp.ndarray, k: int) -> jnp.ndarray:
+    """K smallest of cand[..., C], ascending, by K successive masked mins.
+
+    ``lax.top_k`` lowers to a full per-row SORT on TPU — ruinous inside the
+    combine's segment-chunk scan. K passes of min-reduce + mask are pure
+    VPU arithmetic (K is 2-4). Duplicate sentinel values collapse to the
+    sentinel, which is exactly right for NO_HIT/NO_HIT_SEG.
+    """
+    outs = []
+    cur = cand
+    for i in range(k):
+        m = jnp.min(cur, axis=-1)
+        outs.append(m)
+        if i + 1 < k:
+            sentinel = jnp.asarray(NO_HIT if cand.dtype.kind == "f" else NO_HIT_SEG,
+                                   cand.dtype)
+            cur = jnp.where(cur <= m[..., None], sentinel, cur)
+    return jnp.stack(outs, axis=-1)
+
+
+def merge_sorted_k(a: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """K smallest of two ASCENDING [..., K] key lists via a bitonic merge.
+
+    Concatenating an ascending list with a reversed ascending list gives a
+    bitonic sequence; log2(2K) compare-exchange stages sort it — a few
+    elementwise min/max ops instead of the full sort ``lax.top_k`` costs.
+    """
+    kp = 1 << (k - 1).bit_length()  # pad K to a power of two
+    sentinel = jnp.asarray(NO_HIT if a.dtype.kind == "f" else NO_HIT_SEG, a.dtype)
+    if kp != k:
+        padding = [(0, 0)] * (a.ndim - 1) + [(0, kp - k)]
+        a = jnp.pad(a, padding, constant_values=sentinel)
+        b = jnp.pad(b, padding, constant_values=sentinel)
+    seq = jnp.concatenate([a, jnp.flip(b, axis=-1)], axis=-1)  # bitonic
+    n = 2 * kp
+    span = kp
+    lead = seq.shape[:-1]
+    while span >= 1:
+        x = seq.reshape(lead + (n // (2 * span), 2, span))
+        lo = jnp.minimum(x[..., 0, :], x[..., 1, :])
+        hi = jnp.maximum(x[..., 0, :], x[..., 1, :])
+        seq = jnp.stack([lo, hi], axis=-2).reshape(lead + (n,))
+        span //= 2
+    return seq[..., :k]
+
+
 def _merge_topk(keys_a: jnp.ndarray, keys_b: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Merge two ascending-is-better key sets into the K smallest."""
-    merged = jnp.concatenate([keys_a, keys_b], axis=-1)
-    # top_k selects largest; negate for smallest
-    neg_top, _ = jax.lax.top_k(-merged, k)
-    return -neg_top
+    """Merge two ascending key lists into the K smallest (sort-free)."""
+    return merge_sorted_k(keys_a, keys_b, k)
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "max_hits", "chunk"))
@@ -124,8 +167,7 @@ def terrain_crossing_segments(
             new = jnp.minimum(keys[..., 0], jnp.min(cand, axis=-1))
             keys = new[..., None]
         else:
-            neg_top, _ = jax.lax.top_k(-cand, max_hits)  # K smallest of chunk
-            keys = _merge_topk(keys, -neg_top, max_hits)
+            keys = merge_sorted_k(keys, k_smallest(cand, max_hits), max_hits)
         return keys, None
 
     keys0 = jnp.full((h_n, w_n, max_hits), NO_HIT_SEG, jnp.int32)
@@ -191,8 +233,7 @@ def aligned_crossing_segments(
         if max_hits == 1:
             keys = jnp.minimum(keys[..., 0], jnp.min(cand, axis=-1))[..., None]
         else:
-            neg_top, _ = jax.lax.top_k(-cand, max_hits)
-            keys = _merge_topk(keys, -neg_top, max_hits)
+            keys = merge_sorted_k(keys, k_smallest(cand, max_hits), max_hits)
         return keys, None
 
     keys0 = jnp.full((r_n, w_n, max_hits), NO_HIT_SEG, jnp.int32)
