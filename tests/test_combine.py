@@ -109,3 +109,32 @@ def test_gathers_lerp(fan):
     valid = np.isfinite(np.asarray(keys))
     # at a terrain crossing the lerped ray and terrain elevations agree
     np.testing.assert_allclose(te[valid], re[valid], atol=1e-3)
+
+
+def test_k_smallest_matches_sort():
+    import jax.numpy as jnp
+    from atm_raytracer_tpu.ops.combine import NO_HIT_SEG, k_smallest
+
+    rng = np.random.default_rng(3)
+    # unique candidate ids + sentinel duplicates, like a combine chunk
+    cand = rng.permutation(np.arange(64))[None].repeat(5, 0).astype(np.int32)
+    cand[cand % 3 == 0] = NO_HIT_SEG
+    for k in (1, 2, 3, 4):
+        got = np.asarray(k_smallest(jnp.asarray(cand), k))
+        want = np.sort(cand, axis=-1)[:, :k]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_merge_sorted_k_matches_sort():
+    import jax.numpy as jnp
+    from atm_raytracer_tpu.ops.combine import NO_HIT, merge_sorted_k
+
+    rng = np.random.default_rng(4)
+    for k in (1, 2, 3, 4):
+        a = np.sort(rng.uniform(0, 100, (7, k)), -1).astype(np.float32)
+        b = np.sort(rng.uniform(0, 100, (7, k)), -1).astype(np.float32)
+        a[0, -1:] = NO_HIT  # sentinel tails
+        b[1] = NO_HIT
+        got = np.asarray(merge_sorted_k(jnp.asarray(a), jnp.asarray(b), k))
+        want = np.sort(np.concatenate([a, b], -1), -1)[:, :k]
+        np.testing.assert_array_equal(got, want)
