@@ -209,11 +209,19 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
     ent_valid = ent.pop("valid") & in_grid[..., None]
 
     # -- grouping: sort by distance once, segment on gap/kind breaks --------
+    # E is tiny (4·K), so the sort permutation is applied as an E×E one-hot
+    # contraction (batched matmul) instead of take_along_axis, whose
+    # per-lane gathers and the argsort-of-argsort inverse both cost far
+    # more than the arithmetic they replace on TPU.
     dist_key = jnp.where(ent_valid, ent["distance"], jnp.inf)
     order = jnp.argsort(dist_key, axis=-1)  # [H, W, E]
-    d_s = jnp.take_along_axis(dist_key, order, axis=-1)
-    k_s = jnp.take_along_axis(ent["kind"], order, axis=-1)
-    v_s = jnp.take_along_axis(ent_valid, order, axis=-1)
+    onehot = (
+        order[..., :, None] == jnp.arange(e_n, dtype=order.dtype)
+    ).astype(jnp.float32)  # [H, W, E(sorted), E(entry)]
+    sort_apply = lambda x: jnp.einsum("...ie,...e->...i", onehot, x)
+    d_s = sort_apply(dist_key)
+    k_s = sort_apply(ent["kind"].astype(jnp.float32))
+    v_s = sort_apply(ent_valid.astype(jnp.float32)) > 0.5
     brk = (
         ~v_s[..., 1:]
         | ((d_s[..., 1:] - d_s[..., :-1]) >= step_size)
@@ -223,8 +231,10 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
         jnp.concatenate([jnp.zeros((h_n, w_n, 1), brk.dtype), brk], axis=-1),
         axis=-1,
     )  # [H, W, E] group id in ascending-distance order, 0-based
-    inv = jnp.argsort(order, axis=-1)  # entry e sits at sorted position inv[e]
-    gid = jnp.take_along_axis(gid_s, inv, axis=-1).astype(jnp.int32)
+    # scatter back to entry order: the transpose of the same one-hot
+    gid = jnp.einsum(
+        "...ie,...i->...e", onehot, gid_s.astype(jnp.float32)
+    ).astype(jnp.int32)
 
     # -- per output slot g (nearest k_out groups): last-entry-per-corner
     #    selection (match_sequence :245-265) + weight-space interpolation ----
@@ -282,11 +292,27 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
 
 
 def interpolating_core(
-    pack, table, objects, grid_elev_deg, grid_az_deg, gi, gj, rem_e, rem_d,
-    alt0, *,
+    pack, table, objects, grid_elev_deg, grid_az_deg, alt0, *,
+    cam, min_es, min_ds, i_min, j_min,
     model, shape, straight, step, n_terr, max_hits, lat0, lon0,
     coloring, fog_distance, terrain_alpha,
 ):
+    # per-pixel grid coordinates are derived ON device from the (static)
+    # camera parameters — uploading four [H, W] arrays through the host link
+    # costs more than the whole render (models.camera note)
+    width, height, fov, tilt, direction = cam
+    elev, dirr = camera.rectilinear_ray_params_device(
+        width, height, fov, tilt, direction
+    )
+    ei_f = elev / jnp.float32(min_es)
+    dj_f = dirr / jnp.float32(min_ds)
+    gi_abs = jnp.floor(ei_f)
+    gj_abs = jnp.floor(dj_f)
+    gi = gi_abs.astype(jnp.int32) - i_min
+    gj = gj_abs.astype(jnp.int32) - j_min
+    rem_e = ei_f - gi_abs
+    rem_d = dj_f - gj_abs
+
     grid = separable_hits(
         pack, table, objects, grid_elev_deg, grid_az_deg, alt0,
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
@@ -298,12 +324,13 @@ def interpolating_core(
         hits.valid, hits.rgba[..., 3], hits.distance, hits.elevation,
         hits.path_length, hits.normal, hits.kind, hits.rgba[..., :3],
     )
-    return image, hits
+    return image.reshape(-1), hits
 
 
 _interp_device = functools.partial(
     jax.jit,
     static_argnames=(
+        "cam", "min_es", "min_ds", "i_min", "j_min",
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
         "lon0", "coloring", "fog_distance", "terrain_alpha",
     ),
@@ -328,8 +355,11 @@ def render_interpolating(
     gj_abs = np.floor(dj_f).astype(np.int64)
     rem_e = (ei_f - gi_abs).astype(np.float32)
     rem_d = (dj_f - gj_abs).astype(np.float32)
-    i_min, i_max = int(gi_abs.min()), int(gi_abs.max()) + 1
-    j_min, j_max = int(gj_abs.min()), int(gj_abs.max()) + 1
+    # widen the grid one cell each way: the device recomputes the pixel
+    # angles in f32 (interpolating_core), and a boundary pixel's floor may
+    # land one cell past the host-f64 extremes
+    i_min, i_max = int(gi_abs.min()) - 1, int(gi_abs.max()) + 2
+    j_min, j_max = int(gj_abs.min()) - 1, int(gj_abs.max()) + 2
     grid_elev_deg = np.rad2deg(np.arange(i_min, i_max + 1) * min_es)
     grid_az_deg = np.rad2deg(np.arange(j_min, j_max + 1) * min_ds)
 
@@ -345,11 +375,13 @@ def render_interpolating(
         pack, table, objset,
         jnp.asarray(grid_elev_deg, jnp.float32),
         jnp.asarray(grid_az_deg, jnp.float32),
-        jnp.asarray(gi_abs - i_min, jnp.int32),
-        jnp.asarray(gj_abs - j_min, jnp.int32),
-        jnp.asarray(rem_e),
-        jnp.asarray(rem_d),
         float(alt0),
+        cam=(out.width, out.height, float(frame.fov), float(frame.tilt),
+             float(frame.direction)),
+        min_es=float(min_es),
+        min_ds=float(min_ds),
+        i_min=i_min,
+        j_min=j_min,
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -380,8 +412,9 @@ def render_interpolating(
     az_out = camera.wrap_azimuth_deg(az_out)
 
     return RenderResult(
-        # flat fetch: [H, W, 3] u8 de-tiles on device otherwise
-        image=np.asarray(image.reshape(-1)).reshape(image.shape),
+        # flat fetch: [H, W, 3] u8 de-tiles on device otherwise (the core
+        # returns the frame pre-flattened)
+        image=np.asarray(image).reshape(out.height, out.width, 3),
         hits=hits,  # device-resident; see generators.fast note
         elevation_deg=elev_out,
         azimuth_deg=az_out,

@@ -63,7 +63,7 @@ def _march_coarse(step: float) -> int:
 def fused_shared_core(
     pack: TerrainPack,
     table: Optional[RefractionTable],
-    elev_hw: jnp.ndarray,  # [H, W] radians
+    elev_hw: Optional[jnp.ndarray],  # [H, W] radians, or None → on-device
     az_deg: jnp.ndarray,  # [W]
     alt0,
     *,
@@ -78,6 +78,8 @@ def fused_shared_core(
     coloring,
     fog_distance: Optional[float],
     terrain_alpha: float,
+    cam: Optional[tuple] = None,  # static (width, height, fov) when elev_hw is None
+    row_sharding=None,  # static NamedSharding: shard pixel rows over a mesh
     with_progress: bool = False,
 ):
     """Whole tilt-0 Rectilinear pipeline, march and combine fused.
@@ -91,6 +93,17 @@ def fused_shared_core(
     """
     n_seg = n_terr - 1
     coarse = _march_coarse(step)
+    if elev_hw is None:
+        # derive the pixel elevation grid ON device: uploading a [H, W] f32
+        # grid costs more tunnel time than the whole render (models.camera
+        # note). Elevation is yaw-independent, so direction=0 suffices.
+        width, height, fov = cam
+        elev_hw, _ = camera.rectilinear_ray_params_device(
+            width, height, fov, 0.0, 0.0
+        )
+        if row_sharding is not None:
+            # anchor the whole program's layout: rows over the mesh axis
+            elev_hw = jax.lax.with_sharding_constraint(elev_hw, row_sharding)
     h_n, w_n = elev_hw.shape
     k = max_hits
 
@@ -217,7 +230,8 @@ _fused_shared_device = functools.partial(
     jax.jit,
     static_argnames=(
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
-        "lon0", "coloring", "fog_distance", "terrain_alpha", "with_progress",
+        "lon0", "coloring", "fog_distance", "terrain_alpha", "cam",
+        "row_sharding", "with_progress",
     ),
 )(fused_shared_core)
 
@@ -557,9 +571,10 @@ def render_rectilinear(
             if objset is None:
                 image_flat, hits = _fused_shared_device(
                     pack, table,
-                    jnp.asarray(elev_rad, jnp.float32),
+                    None,  # elevation grid derived on device (no upload)
                     az_dev,
                     float(alt0),
+                    cam=(w, h, float(frame.fov)),
                     with_progress=with_progress,
                     **static_kwargs,
                 )

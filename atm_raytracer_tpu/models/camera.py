@@ -69,3 +69,39 @@ def rectilinear_ray_params(
     elevation = np.arcsin(np.clip(d[..., 2], -1.0, 1.0))
     direction_r = np.arctan2(d[..., 1], d[..., 0])
     return elevation, direction_r
+
+
+def rectilinear_ray_params_device(
+    width: int, height: int, fov: float, tilt: float, direction: float
+):
+    """Device (jnp, f32) twin of ``rectilinear_ray_params``.
+
+    All camera parameters are static Python floats, so this traces into any
+    jit for free — renderers use it to derive per-pixel angle grids ON
+    device instead of uploading [H, W] arrays through the host link (~8 MB
+    per grid; remote-TPU tunnels move ~45 MB/s, so four uploaded grids cost
+    more than the whole render).
+    """
+    import math as _math
+
+    import jax.numpy as jnp
+
+    x = jnp.arange(width, dtype=jnp.float32) - (width // 2)  # [W]
+    y = jnp.arange(height, dtype=jnp.float32) - (height // 2)  # [H]
+    z = width / 2.0 / _math.tan(_math.radians(fov) / 2.0)
+    yaw = _math.radians(direction)
+    pitch = -_math.radians(tilt)
+    cy, sy = _math.cos(yaw), _math.sin(yaw)
+    cp, sp = _math.cos(pitch), _math.sin(pitch)
+    # v = (z, x, -y); d = R_z(yaw) @ R_y(pitch) @ v
+    v0 = jnp.float32(z)
+    v1 = x[None, :]
+    v2 = -y[:, None]
+    n = jnp.sqrt(v0 * v0 + v1 * v1 + v2 * v2)  # [H, W]
+    a0 = cp * v0 + sp * v2
+    a2 = -sp * v0 + cp * v2
+    d0 = cy * a0 - sy * v1
+    d1 = sy * a0 + cy * v1
+    elevation = jnp.arcsin(jnp.clip(a2 / n, -1.0, 1.0))
+    direction_r = jnp.arctan2(d1, d0)
+    return elevation, direction_r

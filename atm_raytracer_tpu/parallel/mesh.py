@@ -321,12 +321,6 @@ def render_rectilinear_sharded(
     z = w / 2.0 / np.tan(np.deg2rad(frame.fov) / 2.0)
     az_col = frame.direction + np.rad2deg(np.arctan2(x, z))
 
-    pad = (-h) % n_dev
-    elev_p = (
-        np.concatenate([elev_rad, np.broadcast_to(elev_rad[-1:], (pad, w))])
-        if pad else elev_rad
-    )
-
     lat_rng, lon_rng = fast_mod.terrain_bbox(params)
     pack = terrain.pack(lat_rng, lon_rng)
     table = fast_mod.build_refraction_table(params, alt0)
@@ -340,9 +334,11 @@ def render_rectilinear_sharded(
     image_flat, hits = rect_mod._fused_shared_device(
         jax.device_put(pack, repl),
         jax.device_put(table, repl),
-        jax.device_put(jnp.asarray(elev_p, jnp.float32), row_sharding),
+        None,  # elevation grid derived on device, row-sharded in-program
         jax.device_put(jnp.asarray(az_col, jnp.float32), repl),
         float(alt0),
+        cam=(w, h, float(frame.fov)),
+        row_sharding=row_sharding,
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,

@@ -256,12 +256,26 @@ class Terrain:
         rows_m1 = np.ones((n_lats * n_lons,), np.float32)
         cols_m1 = np.ones((n_lats * n_lons,), np.float32)
         shapes = {t.elev.shape for t in tiles}
+        grad_bound = 0.0  # mosaic Lipschitz bound, meters elev per meter
+        from ..models.earth import DEGREE_DISTANCE
+
         for k, t in zip(keys, tiles):
             slot = (k[0] - lat_lo) * n_lons + (k[1] - lon_lo)
             nr, nc = t.elev.shape
             stack[slot, :nr, :nc] = t.elev
             rows_m1[slot] = nr - 1
             cols_m1[slot] = nc - 1
+            # bilinear |∇| ≤ sqrt(gx² + gy²) with per-axis worst post diffs;
+            # used by the culled rectilinear's conservative terrain envelope
+            e = t.elev.astype(np.float32)
+            sp_lat = DEGREE_DISTANCE / max(nr - 1, 1)
+            sp_lon = (
+                DEGREE_DISTANCE * max(0.1, math.cos(math.radians(k[0] + 0.5)))
+                / max(nc - 1, 1)
+            )
+            gy = float(np.abs(np.diff(e, axis=0)).max(initial=0.0)) / sp_lat
+            gx = float(np.abs(np.diff(e, axis=1)).max(initial=0.0)) / sp_lon
+            grad_bound = max(grad_bound, math.hypot(gx, gy))
         uniform = None
         if len(shapes) == 1:
             (nr, nc), = shapes
@@ -301,6 +315,7 @@ class Terrain:
             n_cols=n_lons,
             uniform=uniform,
             quad=quad,
+            grad_bound=round(grad_bound, 6),
         )
         self._pack_cache[cache_key] = result
         return result
@@ -329,12 +344,15 @@ class TerrainPack:
     uniform: Optional[Tuple[float, float]]  # static (rows−1, cols−1) or None
     quad: Optional[jnp.ndarray] = None  # [T, S, S, 2] int32 2×2-footprint pack
     tile_s: int = 0  # static padded tile side S (tiles may be a stub)
+    # static mosaic Lipschitz bound |∇elev| (m/m) — sizes the conservative
+    # slack of the culled rectilinear's azimuth-interval terrain envelope
+    grad_bound: float = 0.0
 
     def tree_flatten(self):
         return (
             (self.tiles, self.rows_m1, self.cols_m1, self.quad),
             (self.lat_min, self.lon_min, self.n_rows, self.n_cols,
-             self.uniform, self.tile_s),
+             self.uniform, self.tile_s, self.grad_bound),
         )
 
     @classmethod
@@ -343,4 +361,5 @@ class TerrainPack:
             children[0], children[1], children[2],
             lat_min=aux[0], lon_min=aux[1], n_rows=aux[2], n_cols=aux[3],
             uniform=aux[4], quad=children[3], tile_s=aux[5],
+            grad_bound=aux[6],
         )
