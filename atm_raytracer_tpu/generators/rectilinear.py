@@ -41,7 +41,13 @@ from ..models.earth import EarthModel
 from ..ops import combine
 from ..ops.composite import composite
 from ..ops.objects import ObjectSet, merge_hits, object_hits_pixelwise
-from ..physics.ray import EarthShape, RefractionTable, march_rays, march_scan
+from ..physics.ray import (
+    EarthShape,
+    RefractionTable,
+    march_rays,
+    march_scan,
+    rk4_window,
+)
 from ..terrain.sample import sample_elevation, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult, callbacks_supported
@@ -373,6 +379,280 @@ def _emit_progress(frac) -> None:
 
 
 # ---------------------------------------------------------------------------
+# tilt != 0, no objects, opaque terrain: two-phase envelope-culled exact path
+# ---------------------------------------------------------------------------
+
+
+def fused_culled_core(
+    pack: TerrainPack,
+    table: Optional[RefractionTable],
+    alt0,
+    *,
+    cam: tuple,  # static (width, height, fov, tilt, direction)
+    model: EarthModel,
+    shape: EarthShape,
+    straight: bool,
+    step: float,
+    n_terr: int,
+    lat0: float,
+    lon0: float,
+    coloring,
+    fog_distance: Optional[float],
+    terrain_alpha: float,
+    m_cand: int = 4,
+    block_windows: int = 4,
+):
+    """Exact tilted-pinhole Rectilinear without per-pixel dense sampling.
+
+    A tilted camera couples azimuth to both pixel axes (rectilinear.rs:
+    78-100), so nothing is shared between pixels and the naive exact program
+    samples terrain H·W·N times (~8×10⁹ gathers at 1080p — minutes). This
+    path keeps the result EXACT while sampling ~100× less:
+
+    1. envelope: terrain on a dense azimuth grid (2 columns per pixel
+       column), reduced to per-(azimuth-interval, distance-block) min/max
+       bounds, widened by a slack that covers any azimuth inside the
+       interval: slack = G·d·δa with G the mosaic's bilinear Lipschitz
+       bound (``TerrainPack.grad_bound``) and d·δa the geodesic spread —
+       a CONSERVATIVE bound, so culling can never drop a real crossing.
+    2. candidate capture: one ``march_scan`` pass per round carries each
+       pixel's block-window ray min/max; a block whose ray range overlaps
+       its envelope range writes the block-start ODE state (h, h', path
+       length, death flag) into the pixel's next free candidate slot —
+       pure where/compare writes, no gathers inside the scan.
+    3. exact test: candidate blocks re-integrate from their captured states
+       (``rk4_window`` — bitwise the same values the full march produces)
+       and sample terrain at each pixel's EXACT azimuth only there
+       (P·M·(B+1) gathers instead of P·N).
+    4. rounds: a ``lax.while_loop`` repeats 2-3 with the next ``m_cand``
+       candidate blocks for pixels that have candidates left but no hit —
+       the exactness backstop for grazing rays with many envelope overlaps.
+
+    Opaque terrain only (first crossing); translucent or object scenes use
+    the dense per-pixel path.
+    """
+    width, height, fov, tilt, direction = cam
+    n_seg = n_terr - 1
+    coarse = _march_coarse(step)
+    b_len = block_windows * coarse  # segments per block
+    nb = -(-n_seg // b_len)
+    n_march = nb * b_len  # march through whole blocks; masks trim the tail
+    p_n = width * height
+    m = m_cand
+    radius = shape.radius
+
+    elev_hw, dirr_hw = camera.rectilinear_ray_params_device(
+        width, height, fov, tilt, direction
+    )
+    elev = elev_hw.reshape(-1)
+    az_px = jnp.rad2deg(dirr_hw.reshape(-1))  # [P] degrees
+
+    # -- phase 1: conservative envelope ------------------------------------
+    n_env = 2 * width  # two envelope columns per pixel column
+    az_lo = jnp.min(az_px)
+    span = jnp.maximum(jnp.max(az_px) - az_lo, 1e-7)
+    d_az = span / (n_env - 1)
+    az_grid = az_lo + jnp.arange(n_env, dtype=jnp.float32) * d_az
+    dists = jnp.arange(n_march + 1, dtype=jnp.float32) * jnp.float32(step)
+    env_dl, env_dn = model.geodesic_delta(
+        lat0, lon0, az_grid[:, None], dists[None, :]
+    )
+    env = sample_elevation(pack, env_dl, env_dn, lat0, lon0)  # [A, n_march+1]
+    seg_hi = jnp.maximum(env[:, :-1], env[:, 1:]).reshape(n_env, nb, b_len)
+    seg_lo = jnp.minimum(env[:, :-1], env[:, 1:]).reshape(n_env, nb, b_len)
+    blk_hi = seg_hi.max(-1)  # [A, nb]
+    blk_lo = seg_lo.min(-1)
+    int_hi = jnp.maximum(blk_hi[:-1], blk_hi[1:])  # [A-1, nb]
+    int_lo = jnp.minimum(blk_lo[:-1], blk_lo[1:])
+    d_far = (jnp.arange(nb, dtype=jnp.float32) + 1.0) * jnp.float32(b_len * step)
+    slack = (
+        jnp.float32(pack.grad_bound) * d_far * jnp.deg2rad(d_az) * 1.1 + 1.0
+    )  # [nb]; ×1.1 geodesic-spread margin, +1 m absolute safety
+    env_hi = int_hi + slack[None, :]
+    env_lo = int_lo - slack[None, :]
+    j_px = jnp.clip(
+        jnp.floor((az_px - az_lo) / d_az).astype(jnp.int32), 0, n_env - 2
+    )
+    env_hi_p = jnp.take(env_hi, j_px, axis=0)  # [P, nb] — one gather launch
+    env_lo_p = jnp.take(env_lo, j_px, axis=0)
+
+    # -- phases 2-4 --------------------------------------------------------
+    slot_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
+
+    def capture_round(skip):
+        """One march pass: capture candidate blocks skip..skip+m-1."""
+
+        def consumer(user, k0, h_f, plen_f, alive, v):
+            (bh, bv, bp, bd, rmin, rmax, cnt, s_h, s_v, s_p, s_d, s_b) = user
+            w_idx = k0 // coarse
+            at_start = (w_idx % block_windows) == 0
+            bh = jnp.where(at_start, h_f[:, 0], bh)
+            bv = jnp.where(at_start, v, bv)
+            bp = jnp.where(at_start, plen_f[:, 0], bp)
+            bd = jnp.where(at_start, ~alive[:, 0], bd)
+            wmin = jnp.min(h_f, axis=-1)
+            wmax = jnp.max(h_f, axis=-1)
+            rmin = jnp.where(at_start, wmin, jnp.minimum(rmin, wmin))
+            rmax = jnp.where(at_start, wmax, jnp.maximum(rmax, wmax))
+            at_end = (w_idx % block_windows) == (block_windows - 1)
+            b = w_idx // block_windows
+            e_hi = jax.lax.dynamic_slice(env_hi_p, (0, b), (p_n, 1))[:, 0]
+            e_lo = jax.lax.dynamic_slice(env_lo_p, (0, b), (p_n, 1))[:, 0]
+            cand = (
+                at_end & (rmin <= e_hi) & (rmax >= e_lo) & ~bd
+                & (b * b_len < n_seg)
+            )
+            slot = (cnt - skip)[:, None]
+            wm = cand[:, None] & (slot_iota == slot)
+            s_h = jnp.where(wm, bh[:, None], s_h)
+            s_v = jnp.where(wm, bv[:, None], s_v)
+            s_p = jnp.where(wm, bp[:, None], s_p)
+            s_d = jnp.where(wm, bd[:, None], s_d)
+            s_b = jnp.where(wm, b, s_b)
+            cnt = cnt + cand.astype(jnp.int32)
+            return (bh, bv, bp, bd, rmin, rmax, cnt, s_h, s_v, s_p, s_d, s_b)
+
+        z = jnp.zeros((p_n,), jnp.float32)
+        zb = jnp.zeros((p_n,), bool)
+        zi = jnp.zeros((p_n,), jnp.int32)
+        zm = jnp.zeros((p_n, m), jnp.float32)
+        init = (
+            z, z, z, zb, z, z, zi,
+            zm, zm, zm, jnp.zeros((p_n, m), bool),
+            jnp.full((p_n, m), nb, jnp.int32),
+        )
+        out = march_scan(
+            alt0, elev, step, n_march, shape, table, straight,
+            consumer, init, coarse=coarse, with_slope=True,
+        )
+        (_, _, _, _, _, _, cnt, s_h, s_v, s_p, s_d, s_b) = out
+        return cnt, s_h, s_v, s_p, s_d, s_b
+
+    def exact_test(s_h, s_v, s_p, s_d, s_b):
+        """Re-integrate candidate blocks; exact terrain at pixel azimuths."""
+        h = s_h.reshape(-1)
+        v = s_v.reshape(-1)
+        pl = s_p.reshape(-1)
+        parts_h = [h[:, None]]
+        parts_p = [pl[:, None]]
+        for _ in range(block_windows):
+            h_f, plen_f, h, v = rk4_window(
+                h, v, pl, step, coarse, table, straight, radius
+            )
+            parts_h.append(h_f[:, 1:])
+            parts_p.append(plen_f[:, 1:])
+            pl = plen_f[:, -1]
+        h_fine = jnp.concatenate(parts_h, axis=-1).reshape(p_n, m, b_len + 1)
+        p_fine = jnp.concatenate(parts_p, axis=-1).reshape(p_n, m, b_len + 1)
+        # death rule inside the block (prefix over samples < segment index)
+        dead_loc = h_fine[..., :-1] < jnp.float32(-1000.0)
+        pref = jnp.cumsum(dead_loc.astype(jnp.int32), axis=-1)
+        no_prior = jnp.concatenate(
+            [jnp.zeros_like(pref[..., :1]), pref[..., :-1]], axis=-1
+        )
+        alive = ~s_d[..., None] & (no_prior == 0)
+
+        local = jnp.arange(b_len + 1, dtype=jnp.float32)
+        d = (
+            s_b[..., None].astype(jnp.float32) * (b_len * step)
+            + local[None, None, :] * jnp.float32(step)
+        )  # [P, M, B+1]
+        dl, dn = model.geodesic_delta(lat0, lon0, az_px[:, None, None], d)
+        te = sample_elevation(pack, dl, dn, lat0, lon0)  # [P, M, B+1]
+        dd = h_fine - te
+        d1 = dd[..., :-1]
+        d2 = dd[..., 1:]
+        seg = (
+            s_b[..., None] * b_len
+            + jnp.arange(b_len, dtype=jnp.int32)[None, None, :]
+        )
+        crossing = (
+            (d1 * d2 < 0.0) & alive & (seg < n_seg) & (s_b[..., None] < nb)
+        )
+        cand = jnp.where(crossing, seg, combine.NO_HIT_SEG).reshape(p_n, -1)
+        cmin = jnp.min(cand, axis=-1, keepdims=True)  # [P, 1]
+        ohf = ((cand == cmin) & (cand < combine.NO_HIT_SEG)).astype(jnp.float32)
+        sel = lambda x: jnp.sum(x.reshape(p_n, -1) * ohf, axis=-1, keepdims=True)
+        d1s = sel(d1)
+        d2s = sel(d2)
+        pl1 = sel(p_fine[..., :-1])
+        pl2 = sel(p_fine[..., 1:])
+        denom = d1s - d2s
+        prop = d1s / jnp.where(denom == 0.0, 1.0, denom)
+        found = cmin < combine.NO_HIT_SEG
+        keyc = jnp.where(found, cmin.astype(jnp.float32) + prop, combine.NO_HIT)
+        plc = pl1 * (1.0 - prop) + pl2 * prop
+        return keyc, plc
+
+    def round_body(state):
+        skip, key, plh, _ = state
+        cnt, s_h, s_v, s_p, s_d, s_b = capture_round(skip)
+        keyc, plc = exact_test(s_h, s_v, s_p, s_d, s_b)
+        better = keyc < key
+        return (
+            skip + m,
+            jnp.where(better, keyc, key),
+            jnp.where(better, plc, plh),
+            cnt,
+        )
+
+    def round_cond(state):
+        skip, key, _, cnt = state
+        return jnp.any(jnp.isinf(key[:, 0]) & (cnt > skip)) & (skip < nb)
+
+    state0 = (
+        jnp.int32(0),
+        jnp.full((p_n, 1), combine.NO_HIT),
+        jnp.zeros((p_n, 1), jnp.float32),
+        jnp.full((p_n,), nb, jnp.int32),  # "assume more" → first round runs
+    )
+    _, key, plh, _ = jax.lax.while_loop(round_cond, round_body, state0)
+
+    # -- hit-field reconstruction at the found keys (legacy-path semantics) -
+    valid = jnp.isfinite(key)
+    safe = jnp.where(valid, key, 0.0)
+    kf = jnp.floor(safe)
+    prop = safe - kf
+    dl1, dn1 = model.geodesic_delta(lat0, lon0, az_px[:, None], kf * step)
+    dl2, dn2 = model.geodesic_delta(
+        lat0, lon0, az_px[:, None], (kf + 1.0) * step
+    )
+    te1, no1 = sample_terrain_data(pack, model, dl1, dn1, lat0, lon0)
+    te2, no2 = sample_terrain_data(pack, model, dl2, dn2, lat0, lon0)
+    lerp = lambda a, b: a * (1.0 - prop) + b * prop
+    hits = HitBuffer(
+        valid=valid,
+        key=key,
+        dlat=lerp(dl1, dl2),
+        dlon=lerp(dn1, dn2),
+        distance=safe * jnp.float32(step),
+        elevation=lerp(te1, te2),
+        path_length=plh,
+        normal=no1 * (1.0 - prop[..., None]) + no2 * prop[..., None],
+        kind=jnp.zeros(key.shape, jnp.int32),
+        rgba=jnp.zeros(key.shape + (4,), jnp.float32)
+        .at[..., 3]
+        .set(jnp.float32(terrain_alpha)),
+    )
+    image = composite(
+        coloring, fog_distance,
+        hits.valid, hits.rgba[..., 3], hits.distance, hits.elevation,
+        hits.path_length, hits.normal, hits.kind, hits.rgba[..., :3],
+    )
+    return image.reshape(-1), hits
+
+
+_fused_culled_device = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "model", "shape", "straight", "step", "n_terr", "lat0",
+        "lon0", "coloring", "fog_distance", "terrain_alpha", "m_cand",
+        "block_windows",
+    ),
+)(fused_culled_core)
+
+
+# ---------------------------------------------------------------------------
 # tilt != 0: exact per-pixel geodesics (no sharing possible)
 # ---------------------------------------------------------------------------
 
@@ -611,6 +891,30 @@ def render_rectilinear(
             _progress_sink = None
         if progress is not None and not with_progress:
             progress(100)  # backend rejects host callbacks; report completion
+    elif (objset is None and max_hits == 1
+          and not os.environ.get("ATM_RAYTRACER_NO_CULL")):
+        # tilted pinhole, opaque terrain: two-phase envelope-culled exact path
+        image_flat, hits = _fused_culled_device(
+            pack, table, float(alt0),
+            cam=(w, h, float(frame.fov), float(frame.tilt),
+                 float(frame.direction)),
+            model=params.model,
+            shape=params.model.to_shape(),
+            straight=params.straight_rays,
+            step=float(params.simulation_step),
+            n_terr=n_terr,
+            lat0=float(pos.latitude),
+            lon0=float(pos.longitude),
+            coloring=params.coloring,
+            fog_distance=params.view.fog_distance,
+            terrain_alpha=float(params.terrain_alpha),
+        )
+        image = np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+        hits = jax.tree.map(
+            lambda x: x.reshape((h, w) + x.shape[1:]), hits
+        )
+        if progress is not None:
+            progress(100)
     else:
         r_rows = chunk_rows or 64
         elev_flat = jnp.asarray(elev_rad.reshape(-1), jnp.float32)

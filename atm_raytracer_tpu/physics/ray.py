@@ -288,6 +288,41 @@ def _rk4_step(h, v, dx, table, radius, straight):
     return h_new, v_new
 
 
+def rk4_window(h, v, plen, step, coarse, table, straight, radius):
+    """One coarse RK4 step + Hermite dense output + calc_dist path lengths.
+
+    Returns (h_f [B, C+1], plen_f [B, C+1], h1, v1): exactly the values a
+    ``march_scan`` window produces from the same (h, v, plen) state —
+    bitwise reproducible, so captured window states can be re-expanded later
+    (the culled Rectilinear re-integrates candidate blocks this way).
+    """
+    dx = jnp.float32(step * coarse)
+    dxf = jnp.float32(step)
+    t = (jnp.arange(coarse + 1, dtype=jnp.float32) / jnp.float32(coarse))[None, :]
+    t2 = t * t
+    t3 = t2 * t
+    b00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    b10 = t3 - 2.0 * t2 + t
+    b01 = -2.0 * t3 + 3.0 * t2
+    b11 = t3 - t2
+    h1, v1 = _rk4_step(h, v, dx, table, radius, straight)
+    h_f = (
+        b00 * h[:, None] + b10 * (v * dx)[:, None]
+        + b01 * h1[:, None] + b11 * (v1 * dx)[:, None]
+    )  # [B, C+1]
+    dh = h_f[:, 1:] - h_f[:, :-1]
+    if radius is None:
+        seg_len = jnp.sqrt(dxf * dxf + dh * dh)
+    else:
+        dx_eff = dxf * ((h_f[:, 1:] + h_f[:, :-1]) * 0.5 + radius) / radius
+        seg_len = jnp.sqrt(dx_eff * dx_eff + dh * dh)
+    plen_f = jnp.concatenate(
+        [plen[:, None], plen[:, None] + jnp.cumsum(seg_len, axis=-1)],
+        axis=-1,
+    )
+    return h_f, plen_f, h1, v1
+
+
 def march_scan(
     alt: jnp.ndarray,
     elev_rad: jnp.ndarray,
@@ -299,6 +334,7 @@ def march_scan(
     consumer,
     init_carry,
     coarse: int = 1,
+    with_slope: bool = False,
 ):
     """Fused fixed-step march: stream Hermite fine-grid windows to a consumer.
 
@@ -320,7 +356,11 @@ def march_scan(
       utils.rs:159-171; identical semantics to ops.combine.ray_alive_mask).
 
     Integrates ceil(n_steps/coarse)·coarse steps — the consumer masks the
-    tail (k0 + j >= n_steps). Returns the final consumer carry.
+    tail (k0 + j >= n_steps). With ``with_slope`` the consumer receives the
+    window-start ODE slope as a sixth argument (``consumer(carry, k0, h_f,
+    plen_f, alive, v)``) — enough state to re-integrate any window later
+    (the culled Rectilinear captures candidate-block states this way).
+    Returns the final consumer carry.
     """
     elev_rad = jnp.asarray(elev_rad, jnp.float32)
     alt = jnp.broadcast_to(jnp.asarray(alt, jnp.float32), elev_rad.shape)
@@ -328,34 +368,11 @@ def march_scan(
     radius = shape.radius
     coarse = max(1, min(int(coarse), n_steps))
     n_coarse = -(-n_steps // coarse)
-    dx = jnp.float32(step * coarse)
-    dxf = jnp.float32(step)
-
-    # cubic Hermite basis sampled on the fine grid t = j/C, j = 0..C
-    t = (jnp.arange(coarse + 1, dtype=jnp.float32) / jnp.float32(coarse))[None, :]
-    t2 = t * t
-    t3 = t2 * t
-    b00 = 2.0 * t3 - 3.0 * t2 + 1.0
-    b10 = t3 - 2.0 * t2 + t
-    b01 = -2.0 * t3 + 3.0 * t2
-    b11 = t3 - t2
 
     def body(carry, i):
         h, v, plen, dead, user = carry
-        h1, v1 = _rk4_step(h, v, dx, table, radius, straight)
-        h_f = (
-            b00 * h[:, None] + b10 * (v * dx)[:, None]
-            + b01 * h1[:, None] + b11 * (v1 * dx)[:, None]
-        )  # [B, C+1]
-        dh = h_f[:, 1:] - h_f[:, :-1]
-        if radius is None:
-            seg_len = jnp.sqrt(dxf * dxf + dh * dh)
-        else:
-            dx_eff = dxf * ((h_f[:, 1:] + h_f[:, :-1]) * 0.5 + radius) / radius
-            seg_len = jnp.sqrt(dx_eff * dx_eff + dh * dh)
-        plen_f = jnp.concatenate(
-            [plen[:, None], plen[:, None] + jnp.cumsum(seg_len, axis=-1)],
-            axis=-1,
+        h_f, plen_f, h1, v1 = rk4_window(
+            h, v, plen, step, coarse, table, straight, radius
         )
         dead_local = h_f[:, :-1] < jnp.float32(DEATH_ALTITUDE)  # k0..k0+C-1
         pref = jnp.cumsum(dead_local.astype(jnp.int32), axis=-1)
@@ -363,7 +380,10 @@ def march_scan(
             [jnp.zeros_like(pref[:, :1]), pref[:, :-1]], axis=-1
         )
         alive = (~dead)[:, None] & (no_prior == 0)
-        user = consumer(user, i * coarse, h_f, plen_f, alive)
+        if with_slope:
+            user = consumer(user, i * coarse, h_f, plen_f, alive, v)
+        else:
+            user = consumer(user, i * coarse, h_f, plen_f, alive)
         dead = dead | (pref[:, -1] > 0)
         return (h1, v1, plen_f[:, -1], dead, user), None
 

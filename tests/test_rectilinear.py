@@ -150,14 +150,21 @@ def test_progress_percent_lines(setup):
     assert max(seen) == 100
     assert all(0 <= p <= 100 for p in seen)
 
-    # legacy per-pixel path (tilt != 0) reports per row-chunk
+    # legacy per-pixel path (tilt != 0, culling disabled) reports per chunk
     d = config.to_dict()
     d["view"]["frame"]["tilt"] = 1.5
     from atm_raytracer_tpu.config import Config
 
     params2 = Config.from_dict(d).into_params(terrain)
     seen2 = []
-    render_rectilinear(params2, terrain, chunk_rows=8, progress=seen2.append)
+    import os
+
+    os.environ["ATM_RAYTRACER_NO_CULL"] = "1"
+    try:
+        render_rectilinear(params2, terrain, chunk_rows=8,
+                           progress=seen2.append)
+    finally:
+        del os.environ["ATM_RAYTRACER_NO_CULL"]
     assert seen2 == sorted(seen2) and seen2[-1] == 100 and len(seen2) >= 3
 
 
@@ -209,3 +216,45 @@ def test_fused_multi_hit_slots(setup):
         np.asarray(r1.hits.distance[..., 0]), np.asarray(r.hits.distance[..., 0]),
         atol=1e-3,
     )
+
+
+def test_culled_matches_dense_pixelwise(setup):
+    """The envelope-culled tilted path is EXACT: it must agree with the
+    dense per-pixel program (same march, same per-azimuth sampling) to
+    floating-point noise."""
+    import os
+
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    d = config.to_dict()
+    d["view"]["frame"]["tilt"] = 2.0
+    params2 = Config.from_dict(d).into_params(terrain)
+
+    culled = render_rectilinear(params2, terrain)
+    os.environ["ATM_RAYTRACER_NO_CULL"] = "1"
+    try:
+        dense = render_rectilinear(params2, terrain, chunk_rows=16)
+    finally:
+        del os.environ["ATM_RAYTRACER_NO_CULL"]
+
+    cv = np.asarray(culled.hits.valid[..., 0])
+    dv = np.asarray(dense.hits.valid[..., 0])
+    assert (cv == dv).mean() > 0.999, (cv == dv).mean()
+    both = cv & dv
+    dd = np.abs(
+        np.asarray(culled.hits.distance[..., 0])
+        - np.asarray(dense.hits.distance[..., 0])
+    )[both]
+    assert np.median(dd) < 1.0 and dd.max() < 120.0, (np.median(dd), dd.max())
+    pl = np.abs(
+        np.asarray(culled.hits.path_length[..., 0])
+        - np.asarray(dense.hits.path_length[..., 0])
+    )[both]
+    assert np.median(pl) < 2.0
+    # images agree except isolated boundary pixels
+    diff = np.abs(
+        culled.image.astype(int) - dense.image.astype(int)
+    ).max(-1)
+    assert (diff <= 3).mean() > 0.995, (diff <= 3).mean()
