@@ -5,23 +5,27 @@ the Euler-rotated camera basis (rectilinear.rs:78-100), each pixel marching
 its own ray and geodesic lazily (PathIterator, rectilinear.rs:118-186).
 Slowest, exact (README.md:273-279).
 
-TPU shape, two regimes:
+TPU shape, three regimes (all exact):
 
-* tilt == 0 (the overwhelmingly common panorama case): with pitch = 0 the
+* tilt == 0, no objects (the common panorama case): with pitch = 0 the
   Euler chain R_z(yaw)·R_y(0) collapses the per-pixel azimuth to
   ``direction + atan2(x_off, z_focal)`` — EXACTLY constant along each image
-  column (only the elevation varies per pixel). So the terrain scan is
-  shared per column like the Fast generator ([W, N] gathers instead of
-  [H·W, N] — a ~10³× cut in gather launches, the former hot spot), while
-  every pixel still marches its own exact ray. One jitted program: a
-  ``lax.scan`` over row-chunks, each chunk marching [R·W] rays in lockstep
-  and combining against the shared terrain cache elementwise in w
-  (``combine.aligned_crossing_segments``).
+  column — so the terrain scan is shared per column like the Fast
+  generator, and ``fused_shared_core`` streams the per-pixel march straight
+  into the crossing search (``physics.ray.march_scan``) without ever
+  materializing the [H·W, N] ray grid. Scene-object frames use
+  ``shared_column_core``, a row-chunked variant whose dense per-chunk ray
+  grid feeds the object intersectors.
 
-* tilt != 0: the azimuth offset atan2(x, z·cos t − y·sin t) couples both
-  pixel axes, so nothing is shared; each pixel samples terrain along its
-  own geodesic (exact, slow — the reference pays the same coupling). Row
-  chunks run as separate dispatches, which doubles as per-chunk progress.
+* tilt != 0, no objects, opaque terrain: the azimuth offset
+  atan2(x, z·cos t − y·sin t) couples both pixel axes, so nothing is
+  shareable — ``fused_culled_core`` keeps the exact per-azimuth sampling
+  but cuts it ~100× with a conservative terrain-envelope cull (details on
+  the function).
+
+* everything else (tilted object/translucent scenes): ``pixelwise_hits``,
+  the dense exact per-pixel program (the reference pays the same coupling
+  on CPU). ``ATM_RAYTRACER_NO_CULL=1`` forces this path for verification.
 """
 
 from __future__ import annotations

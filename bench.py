@@ -276,6 +276,28 @@ def bench_generator(terrain, gen: str):
           note=f"{gen} 1080p 200km 50m ")
 
 
+def _enable_compilation_cache():
+    """Persistent XLA cache (same location as the CLI): repeat bench runs of
+    a shape skip the 30-200 s TPU compiles."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "ATM_RAYTRACER_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "atm_raytracer_tpu", "jax",
+        ),
+    )
+    if cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
@@ -286,6 +308,7 @@ def main():
         help="time ONE generator at the headline config and exit",
     )
     args = parser.parse_args()
+    _enable_compilation_cache()
 
     terrain = build_terrain(LAT0, LON0, 2.0, 3.0)
     if args.generator:
