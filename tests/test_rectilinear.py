@@ -258,3 +258,38 @@ def test_culled_matches_dense_pixelwise(setup):
         culled.image.astype(int) - dense.image.astype(int)
     ).max(-1)
     assert (diff <= 3).mean() > 0.995, (diff <= 3).mean()
+
+
+@pytest.mark.parametrize("extra", [
+    {"straight_rays": True},
+    {"earth_shape": "FlatDistorted"},
+])
+def test_culled_matches_dense_variants(setup, extra):
+    """Envelope culling stays exact across physics variants (straight rays,
+    flat-family models)."""
+    import os
+
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    d = config.to_dict()
+    d["view"]["frame"]["tilt"] = -1.0
+    d.update(extra)
+    params2 = Config.from_dict(d).into_params(terrain)
+
+    culled = render_rectilinear(params2, terrain)
+    os.environ["ATM_RAYTRACER_NO_CULL"] = "1"
+    try:
+        dense = render_rectilinear(params2, terrain, chunk_rows=16)
+    finally:
+        del os.environ["ATM_RAYTRACER_NO_CULL"]
+    cv = np.asarray(culled.hits.valid[..., 0])
+    dv = np.asarray(dense.hits.valid[..., 0])
+    assert (cv == dv).mean() > 0.998, (cv == dv).mean()
+    both = cv & dv
+    dd = np.abs(
+        np.asarray(culled.hits.distance[..., 0])
+        - np.asarray(dense.hits.distance[..., 0])
+    )[both]
+    assert np.median(dd) < 1.0, np.median(dd)
