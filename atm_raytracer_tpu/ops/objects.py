@@ -305,11 +305,12 @@ def object_hits_fast(
         # beyond the tiny radial factor; compute full rel per (h, w, j):
         # [H, W, kw+1, 3] is too big in one piece for huge frames, but the
         # windows keep it ~H·W·kw — chunk over W if needed.
-        ray_hw = ray_h[:, None, :]  # [H, 1, N]
-        k_idx_b = jnp.broadcast_to(k_idx[None, :, :], (h_n, w_n, kw + 1))
-        rh = jnp.take_along_axis(
-            jnp.broadcast_to(ray_hw, (h_n, w_n, n_path)), k_idx_b, axis=2
-        )  # [H, W, kw+1] ray altitude at window steps
+        # ray altitude at the window steps: ONE take of ray_h's columns at
+        # the [W·(kw+1)] window indices — never broadcast the [H, W, N] cube
+        # (a broadcast+take_along there cost ~10× the whole object pass)
+        rh = jnp.take(
+            ray_h, jnp.minimum(k_idx.reshape(-1), n_path - 1), axis=1
+        ).reshape(h_n, w_n, kw + 1)
         p = model.enu_rel(
             jnp.broadcast_to(g_dlat[None], rh.shape),
             jnp.broadcast_to(g_dlon[None], rh.shape),

@@ -169,11 +169,16 @@ def bench_small_flat(terrain):
 
 
 def bench_objects(terrain):
-    """configs[2]: scene objects + translucent terrain compositing."""
+    """configs[2]: scene objects + translucent terrain compositing.
+
+    720p/60 km: the remote TPU compile service rejects the object-candidate
+    tensors of the full 1080p/100 km variant (compile-helper OOM); the
+    config still exercises frustum/billboard intersection + K=4 compositing.
+    """
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.generators import render_fast
 
-    width, height, max_distance, step = 1920, 1080, 100_000.0, 50.0
+    width, height, max_distance, step = 1280, 720, 60_000.0, 50.0
     m_per_deg = 111_194.9
     objects = []
     for i in range(8):
@@ -198,7 +203,7 @@ def bench_objects(terrain):
     params = Config.from_dict(d).into_params(terrain)
     wall = _timed(lambda: render_fast(params, terrain))
     _emit("objects_translucent", wall, width, height, max_distance, step,
-          note="1080p objects alpha=0.65 ")
+          note="720p objects alpha=0.65 ")
 
 
 def bench_8k_metadata(terrain):
@@ -315,10 +320,17 @@ def main():
         bench_generator(terrain, args.generator)
         return
     if args.all:
-        bench_small_flat(terrain)
-        bench_objects(terrain)
-        bench_8k_metadata(terrain)
-        bench_sweep(terrain)
+        # one failing config must not kill the matrix
+        for fn in (bench_small_flat, bench_objects, bench_8k_metadata,
+                   bench_sweep):
+            try:
+                fn(terrain)
+            except Exception as e:  # noqa: BLE001 — report and continue
+                print(json.dumps({
+                    "metric": fn.__name__, "value": None,
+                    "unit": f"FAILED: {type(e).__name__}: {str(e)[:120]}",
+                    "vs_baseline": None,
+                }), flush=True)
     bench_headline(terrain)  # LAST: the driver parses the tail line
 
 
