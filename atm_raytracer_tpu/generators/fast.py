@@ -55,23 +55,26 @@ _table_cache: dict = {}
 def build_refraction_table(params: Params, alt0: float) -> RefractionTable:
     """Size the l(h) table to cover every altitude the march can visit.
 
-    Memoized per (atmosphere object, wavelength, range): repeat renders of
+    Memoized per (atmosphere CONTENT, wavelength, range): repeat renders of
     the same lowered Params (benchmarks, sweeps, interactive sessions) skip
-    the host-side f64 profile evaluation + device upload.
+    the host-side f64 profile evaluation + device upload. Keyed on the
+    hashable ``AtmosphereDef`` — not ``id(atmosphere)``, whose address
+    CPython reuses after GC, which could silently serve a stale l(h) table
+    to a different atmosphere in sequential multi-config sessions.
     """
     max_elev_deg = abs(params.view.frame.tilt) + params.view.frame.fov  # slack
     top = alt0 + math.tan(math.radians(min(max_elev_deg, 89.0))) * (
         params.view.frame.max_distance
     )
     h_hi = float(min(max(20_000.0, top * 1.1 + 1000.0), 90_000.0))
-    key = (id(params.atmosphere), float(params.wavelength), h_hi)
+    key = (params.atmosphere_def, float(params.wavelength), h_hi)
     cached = _table_cache.get(key)
     if cached is None:
         cached = RefractionTable.build(
             params.atmosphere, params.wavelength, h_lo=-2000.0, h_hi=h_hi,
             dh=1.0,
         )
-        if len(_table_cache) > 16:  # id()-keyed: bound stale entries
+        if len(_table_cache) > 16:  # bound device-resident tables
             _table_cache.clear()
         _table_cache[key] = cached
     return cached

@@ -163,16 +163,18 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
     grid: HitBuffer [H', W', K]; gi/gj: [H, W] corner indices into the grid;
     rem_e/rem_d: [H, W] fractional positions.
 
-    Grouping (collect_trace_points :213-243 — "join the group of the first
-    earlier entry within one simulation step and of equal kind") runs here as
-    a distance-sorted segmentation: sort the ≤4·K corner entries per pixel by
-    distance once, then break groups where the consecutive gap ≥ step_size or
-    the kind changes. Equivalent for all non-degenerate scenes (both are
-    transitive chains over the same closeness predicate); the reference's
-    corner-major tie-walk can differ only when ≥3 mutually step-close groups
-    interleave. Output groups come out ascending by distance — the order the
-    front-to-back compositor needs (the reference emits creation order, which
-    coincides except in the same degenerate interleavings).
+    Grouping is the reference's collect_trace_points (:213-243) EXACTLY:
+    entries iterate in corner-major creation order (SEQUENCE corners, each
+    corner's slots ascending), and each entry joins the FIRST existing group
+    (lowest id) containing ANY member of the same kind within one simulation
+    step, else opens a new group. An other-kind entry interleaved between two
+    close same-kind entries therefore never splits their group. E = 4·K is
+    tiny, so the membership test runs as an unrolled O(E²) pairwise pass of
+    [H, W] compare/select planes — no sorts, no gathers. Output slots order
+    groups ascending by their minimum distance (the front-to-back order the
+    compositor needs; the reference emits creation order, which only differs
+    when corner hit distances interleave non-monotonically — documented in
+    PARITY.md).
     """
     hp, wp, kg = grid.valid.shape
     h_n, w_n = gi.shape
@@ -208,33 +210,50 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
     )
     ent_valid = ent.pop("valid") & in_grid[..., None]
 
-    # -- grouping: sort by distance once, segment on gap/kind breaks --------
-    # E is tiny (4·K), so the sort permutation is applied as an E×E one-hot
-    # contraction (batched matmul) instead of take_along_axis, whose
-    # per-lane gathers and the argsort-of-argsort inverse both cost far
-    # more than the arithmetic they replace on TPU.
+    # -- grouping: exact collect_trace_points (:213-243) ---------------------
+    # Pairwise same-kind closeness in corner-major entry order; entry i
+    # joins min gid over matching earlier entries, else opens a new group.
     dist_key = jnp.where(ent_valid, ent["distance"], jnp.inf)
-    order = jnp.argsort(dist_key, axis=-1)  # [H, W, E]
-    onehot = (
-        order[..., :, None] == jnp.arange(e_n, dtype=order.dtype)
-    ).astype(jnp.float32)  # [H, W, E(sorted), E(entry)]
-    sort_apply = lambda x: jnp.einsum("...ie,...e->...i", onehot, x)
-    d_s = sort_apply(dist_key)
-    k_s = sort_apply(ent["kind"].astype(jnp.float32))
-    v_s = sort_apply(ent_valid.astype(jnp.float32)) > 0.5
-    brk = (
-        ~v_s[..., 1:]
-        | ((d_s[..., 1:] - d_s[..., :-1]) >= step_size)
-        | (k_s[..., 1:] != k_s[..., :-1])
-    )
-    gid_s = jnp.cumsum(
-        jnp.concatenate([jnp.zeros((h_n, w_n, 1), brk.dtype), brk], axis=-1),
-        axis=-1,
-    )  # [H, W, E] group id in ascending-distance order, 0-based
-    # scatter back to entry order: the transpose of the same one-hot
-    gid = jnp.einsum(
-        "...ie,...i->...e", onehot, gid_s.astype(jnp.float32)
-    ).astype(jnp.int32)
+    d_list = [dist_key[..., i] for i in range(e_n)]
+    k_list = [ent["kind"][..., i] for i in range(e_n)]
+    v_list = [ent_valid[..., i] for i in range(e_n)]
+    big_gid = jnp.float32(e_n + 1)  # > any real gid; min-identity
+    gid_l, head_l = [], []
+    next_gid = jnp.zeros((h_n, w_n), jnp.float32)
+    for i in range(e_n):
+        best = jnp.full((h_n, w_n), big_gid)
+        for j in range(i):
+            match = (
+                v_list[i] & v_list[j]
+                & (k_list[i] == k_list[j])
+                & (jnp.abs(d_list[i] - d_list[j]) < step_size)
+            )
+            best = jnp.where(match, jnp.minimum(best, gid_l[j]), best)
+        head = v_list[i] & (best >= big_gid)
+        gid_l.append(jnp.where(head, next_gid, best))
+        head_l.append(head)
+        next_gid = next_gid + head.astype(jnp.float32)
+    # slot ordering: rank groups by (min member distance, gid) ascending
+    gmd_l = []  # per entry: its group's minimum distance
+    for i in range(e_n):
+        gmd = d_list[i]
+        for j in range(e_n):
+            if j == i:
+                continue
+            same = v_list[i] & v_list[j] & (gid_l[i] == gid_l[j])
+            gmd = jnp.where(same, jnp.minimum(gmd, d_list[j]), gmd)
+        gmd_l.append(gmd)
+    rank_l = []
+    for i in range(e_n):
+        r = jnp.zeros((h_n, w_n), jnp.float32)
+        for j in range(e_n):
+            ahead = head_l[j] & (
+                (gmd_l[j] < gmd_l[i])
+                | ((gmd_l[j] == gmd_l[i]) & (gid_l[j] < gid_l[i]))
+            )
+            r = r + ahead.astype(jnp.float32)
+        rank_l.append(r)
+    gid = jnp.stack(rank_l, axis=-1).astype(jnp.int32)  # [H, W, E] slot rank
 
     # -- per output slot g (nearest k_out groups): last-entry-per-corner
     #    selection (match_sequence :245-265) + weight-space interpolation ----

@@ -194,8 +194,11 @@ def fused_shared_core(
             )
         if with_progress:
             frac = (k0.astype(jnp.float32) + c) / jnp.float32(n_coarse * coarse)
+            w_i = k0 // coarse
+            # always emit the FINAL window: when (n_coarse-1) is not a
+            # multiple of stride the 100% line would otherwise never fire
             jax.lax.cond(
-                (k0 // coarse) % stride == 0,
+                (w_i % stride == 0) | (w_i == n_coarse - 1),
                 lambda: jax.debug.callback(_emit_progress, frac, ordered=False),
                 lambda: None,
             )
@@ -449,7 +452,12 @@ def fused_culled_core(
         width, height, fov, tilt, direction
     )
     elev = elev_hw.reshape(-1)
-    az_px = jnp.rad2deg(dirr_hw.reshape(-1))  # [P] degrees
+    # unwrap the atan2 azimuth about the camera direction: a view straddling
+    # the ±180° seam must NOT span ~360° in the envelope grid (d_az and the
+    # Lipschitz slack would blow up and nothing would cull)
+    az_raw = jnp.rad2deg(dirr_hw.reshape(-1))  # [P] degrees in (-180, 180]
+    az_off = jnp.mod(az_raw - jnp.float32(direction) + 180.0, 360.0) - 180.0
+    az_px = jnp.float32(direction) + az_off
 
     # -- phase 1: conservative envelope ------------------------------------
     n_env = 2 * width  # two envelope columns per pixel column
@@ -470,8 +478,10 @@ def fused_culled_core(
     int_lo = jnp.minimum(blk_lo[:-1], blk_lo[1:])
     d_far = (jnp.arange(nb, dtype=jnp.float32) + 1.0) * jnp.float32(b_len * step)
     slack = (
-        jnp.float32(pack.grad_bound) * d_far * jnp.deg2rad(d_az) * 1.1 + 1.0
-    )  # [nb]; ×1.1 geodesic-spread margin, +1 m absolute safety
+        jnp.float32(pack.grad_bound) * d_far * jnp.deg2rad(d_az) * 1.1
+        + 1.0 + jnp.float32(pack.seam_jump)
+    )  # [nb]; ×1.1 geodesic-spread margin, +1 m absolute safety,
+    # + the mosaic's max tile-seam step (no gradient bound covers a step)
     env_hi = int_hi + slack[None, :]
     env_lo = int_lo - slack[None, :]
     j_px = jnp.clip(

@@ -276,6 +276,48 @@ class Terrain:
             gy = float(np.abs(np.diff(e, axis=0)).max(initial=0.0)) / sp_lat
             gx = float(np.abs(np.diff(e, axis=1)).max(initial=0.0)) / sp_lon
             grad_bound = max(grad_bound, math.hypot(gx, gy))
+        # mosaic seam discontinuities: the sampled field STEPS at tile
+        # boundaries when a missing cell (all-zero slot, the reference's 0.0
+        # fallback) abuts real elevation, or when adjacent tiles disagree on
+        # their shared edge posts. No finite Lipschitz bound covers a step,
+        # so the culled rectilinear's envelope adds this jump as an absolute
+        # slack term. Only seams inside the REQUESTED box matter — the
+        # caller promises queries stay within it.
+        tile_by_key = dict(zip(keys, tiles))
+        seam_jump = 0.0
+
+        def _edge(key, side):
+            t = tile_by_key.get(key)
+            if t is None:
+                return np.zeros(2, np.float32)
+            e = t.elev
+            return {
+                "n": e[-1, :], "s": e[0, :], "e": e[:, -1], "w": e[:, 0]
+            }[side].astype(np.float32)
+
+        def _jump(ea, eb):
+            n = max(len(ea), len(eb))
+            xs = np.linspace(0.0, 1.0, n)
+            da = np.interp(xs, np.linspace(0.0, 1.0, len(ea)), ea)
+            db = np.interp(xs, np.linspace(0.0, 1.0, len(eb)), eb)
+            return float(np.abs(da - db).max(initial=0.0))
+
+        req_lat = range(int(math.floor(lat_range[0])), int(math.floor(lat_range[1])) + 1)
+        req_lon = range(int(math.floor(lon_range[0])), int(math.floor(lon_range[1])) + 1)
+        for la in req_lat:
+            for lo in req_lon:
+                if (la, lo + 1) in tile_by_key or (la, lo) in tile_by_key:
+                    if lo + 1 in req_lon:
+                        seam_jump = max(
+                            seam_jump,
+                            _jump(_edge((la, lo), "e"), _edge((la, lo + 1), "w")),
+                        )
+                if (la + 1, lo) in tile_by_key or (la, lo) in tile_by_key:
+                    if la + 1 in req_lat:
+                        seam_jump = max(
+                            seam_jump,
+                            _jump(_edge((la, lo), "n"), _edge((la + 1, lo), "s")),
+                        )
         uniform = None
         if len(shapes) == 1:
             (nr, nc), = shapes
@@ -316,6 +358,7 @@ class Terrain:
             uniform=uniform,
             quad=quad,
             grad_bound=round(grad_bound, 6),
+            seam_jump=round(seam_jump, 3),
         )
         self._pack_cache[cache_key] = result
         return result
@@ -347,12 +390,16 @@ class TerrainPack:
     # static mosaic Lipschitz bound |∇elev| (m/m) — sizes the conservative
     # slack of the culled rectilinear's azimuth-interval terrain envelope
     grad_bound: float = 0.0
+    # static max step discontinuity (m) across tile seams inside the
+    # requested box (missing cells vs real elevation, mismatched edges) —
+    # added as ABSOLUTE envelope slack because no gradient bound covers a step
+    seam_jump: float = 0.0
 
     def tree_flatten(self):
         return (
             (self.tiles, self.rows_m1, self.cols_m1, self.quad),
             (self.lat_min, self.lon_min, self.n_rows, self.n_cols,
-             self.uniform, self.tile_s, self.grad_bound),
+             self.uniform, self.tile_s, self.grad_bound, self.seam_jump),
         )
 
     @classmethod
@@ -361,5 +408,5 @@ class TerrainPack:
             children[0], children[1], children[2],
             lat_min=aux[0], lon_min=aux[1], n_rows=aux[2], n_cols=aux[3],
             uniform=aux[4], quad=children[3], tile_s=aux[5],
-            grad_bound=aux[6],
+            grad_bound=aux[6], seam_jump=aux[7],
         )

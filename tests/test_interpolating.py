@@ -68,6 +68,50 @@ def test_interpolating_close_to_rectilinear(setup):
     assert (diff <= 8).mean() > 0.9, (diff <= 8).mean()
 
 
+def test_grouping_kind_interleave_does_not_split():
+    """collect_trace_points (:213-243) matches same-CLASS entries only: an
+    object / terrain / object interleave within one step must yield 2 groups
+    (the middle terrain entry does not split the object pair)."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.generators.base import HitBuffer
+    from atm_raytracer_tpu.generators.interpolating import _interpolate_pixels
+
+    kg = 3  # per-corner slots: obj@1000, terrain@1020, obj@1040
+    dist = jnp.broadcast_to(
+        jnp.array([1000.0, 1020.0, 1040.0], jnp.float32), (2, 2, kg)
+    )
+    kind = jnp.broadcast_to(jnp.array([1, 0, 1], jnp.int32), (2, 2, kg))
+    ones = jnp.ones((2, 2, kg), jnp.float32)
+    grid = HitBuffer(
+        valid=jnp.ones((2, 2, kg), bool),
+        key=dist / 50.0,
+        dlat=ones * 0.01,
+        dlon=ones * 0.01,
+        distance=dist,
+        elevation=ones * 100.0,
+        path_length=dist,
+        normal=jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], jnp.float32), (2, 2, kg, 3)
+        ),
+        kind=kind,
+        rgba=jnp.ones((2, 2, kg, 4), jnp.float32),
+    )
+    gi = jnp.zeros((1, 1), jnp.int32)
+    gj = jnp.zeros((1, 1), jnp.int32)
+    half = jnp.full((1, 1), 0.5, jnp.float32)
+    out = _interpolate_pixels(grid, gi, gj, half, half, 50.0, 2 * kg)
+    valid = np.asarray(out.valid[0, 0])
+    assert valid.sum() == 2, valid  # 2 groups, not 3
+    kinds = np.asarray(out.kind[0, 0])[valid.astype(bool)]
+    dists = np.asarray(out.distance[0, 0])[valid.astype(bool)]
+    # slot 0 = object group (min dist 1000; last member per corner = 1040),
+    # slot 1 = terrain group at 1020
+    assert list(kinds) == [1, 0]
+    assert abs(dists[0] - 1040.0) < 1e-3
+    assert abs(dists[1] - 1020.0) < 1e-3
+
+
 def test_interpolating_angles_bilinear(setup):
     from atm_raytracer_tpu.generators.interpolating import (
         gen_fov_data,
