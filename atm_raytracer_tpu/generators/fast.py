@@ -35,7 +35,11 @@ from ..physics.ray import EarthShape, RefractionTable, march_rays
 from ..terrain.sample import sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult
-from ..ops.objects import ObjectSet, object_hits_fast, merge_hits
+from ..ops.objects import (
+    ObjectSet,
+    apply_objects_separable,
+    object_col_windows,
+)
 
 
 def terrain_bbox(params: Params) -> Tuple[Tuple[float, float], Tuple[float, float]]:
@@ -50,6 +54,45 @@ def terrain_bbox(params: Params) -> Tuple[Tuple[float, float], Tuple[float, floa
 
 
 _table_cache: dict = {}
+
+# ObjectSet + column-window memo per Params object: repeat renders of one
+# lowered Params (benchmarks, sweeps, viewer re-renders) skip the host
+# geodesic scan and the device re-upload. Keyed by id() but guarded by a
+# weakref identity check (CPython reuses freed addresses — the ADVICE r2
+# stale-cache trap), and a weakref finalizer evicts dead entries. Inner key
+# = the azimuth grid fingerprint + march length (the Fast camera and the
+# Interpolating snapped grid differ).
+import weakref
+
+_objects_cache: dict = {}
+
+
+def build_objects_cached(params, terrain, az_deg, n_terr: int):
+    """(ObjectSet, col_windows) for params, memoized per Params + az grid."""
+    if not params.objects:
+        return None, None
+    pid = id(params)
+    entry = _objects_cache.get(pid)
+    if entry is None or entry["ref"]() is not params:
+        entry = {
+            "ref": weakref.ref(
+                params, lambda r, k=pid: _objects_cache.pop(k, None)
+            ),
+            "set": ObjectSet.build(params, terrain),
+            "wins": {},
+        }
+        _objects_cache[pid] = entry
+    az = np.asarray(az_deg)
+    key = (az.shape[0], float(az[0]), float(az[-1]), n_terr)
+    wins = entry["wins"].get(key)
+    if wins is None:
+        pos = params.view.position
+        wins = object_col_windows(
+            entry["set"], params.model, float(pos.latitude),
+            float(pos.longitude), az, float(params.simulation_step), n_terr,
+        )
+        entry["wins"][key] = wins
+    return entry["set"], wins
 
 
 def build_refraction_table(params: Params, alt0: float) -> RefractionTable:
@@ -97,17 +140,31 @@ def separable_hits(
     lat0: float,
     lon0: float,
     terrain_alpha: float,
+    obj_windows=None,  # static per-object (col_lo, n) tuples; None = full W
 ) -> HitBuffer:
     """Hits on the separable (elevation-row × azimuth-column) product grid.
 
     Shared by the Fast generator (camera rows/columns) and the
-    InterpolatingRectilinear generator (snapped angular grid)."""
+    InterpolatingRectilinear generator (snapped angular grid).
+
+    Scene-object frames route through the plane-first twin
+    ``_separable_hit_planes`` — the object merge's slice/concat consumers
+    drive XLA into K-minor (8, 128)-tiled layouts on any [H, W, K(,D)]
+    tensor (measured 32× padding, 11.9 GB for one [1080, 1920, 4, 12] temp),
+    so for those frames no such tensor may exist before the output stack."""
+    if objects is not None:
+        return _separable_hit_planes(
+            pack, table, objects, elev_deg, az_deg, alt0,
+            model=model, shape=shape, straight=straight, step=step,
+            n_terr=n_terr, max_hits=max_hits, lat0=lat0, lon0=lon0,
+            terrain_alpha=terrain_alpha, obj_windows=obj_windows,
+        )
     # 1. path cache: [H, n_terr] ray altitudes at x = k*step (march n_terr-1
     # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174.
     # Coarse RK4 + Hermite dense output caps the sequential chain at ~500m
     # granularity (parity with fine-step: tests/test_ray.py).
     coarse = int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
-        1, int(400.0 // step)
+        1, int(800.0 // step)
     )
     ray_h, path_len = march_rays(
         alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
@@ -189,14 +246,131 @@ def separable_hits(
         rgba=rgba,
     )
 
-    # 4b. scene objects (frustums / billboards)
-    if objects is not None:
-        obj_hits = object_hits_fast(
-            objects, model, lat0, lon0, step,
-            ray_h, path_len, dlat, dlon,
-        )
-        hits = merge_hits(hits, obj_hits, max_hits + obj_hits.k_slots)
     return hits
+
+
+def _separable_hit_planes(
+    pack: TerrainPack,
+    table: Optional[RefractionTable],
+    objects: ObjectSet,
+    elev_deg: jnp.ndarray,  # [H]
+    az_deg: jnp.ndarray,  # [W]
+    alt0,
+    *,
+    model: EarthModel,
+    shape: EarthShape,
+    straight: bool,
+    step: float,
+    n_terr: int,
+    max_hits: int,
+    lat0: float,
+    lon0: float,
+    terrain_alpha: float,
+    obj_windows,
+) -> HitBuffer:
+    """Plane-first separable hits for scene-object frames.
+
+    Identical semantics to ``separable_hits``, different tensor shapes: the
+    crossing segments transpose to K-leading behind an optimization_barrier,
+    payload endpoint gathers run channel-major (ONE take producing
+    [2C, H, W]), and every downstream value is a [H, W] plane — so the
+    object merge's slice/concat consumers can never force padded K-minor
+    layouts (see ``separable_hits`` for the measured failure mode).
+    """
+    from ..ops.objects import apply_objects_planes
+    from ..ops.objects import _planes_to_hb, _PLANE_CHANNELS
+
+    coarse = int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
+        1, int(800.0 // step)
+    )
+    ray_h, path_len = march_rays(
+        alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
+        shape, table, straight, coarse=coarse,
+    )
+    dists = jnp.arange(n_terr, dtype=jnp.float32) * jnp.float32(step)
+    dlat, dlon = model.geodesic_delta(
+        lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
+    )  # [W, n_terr]
+    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+
+    n_seg = n_terr - 1
+    segs = combine.terrain_crossing_segments(ray_h, terr_elev, n_seg, max_hits)
+    # K-leading behind a barrier: layout assignment then materializes the
+    # scan result with (H, W) minor — per-slot plane slices are free
+    segs_t = jax.lax.optimization_barrier(jnp.moveaxis(segs, -1, 0))
+
+    h_n, w_n = elev_deg.shape[0], az_deg.shape[0]
+    # adjacent-pair row tables: ONE 48 B / 16 B row read per (pixel, slot)
+    # delivers all channels at both segment endpoints — gather cost on TPU
+    # is per random-access ROW, so 12 single-element index streams cost ~10×
+    # one 12-lane row stream (measured 854 ms vs 90 ms for the K=4 slots)
+    col_stack = jnp.concatenate(
+        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
+        axis=-1,
+    )  # [W, N, 6]
+    col_pairs = jnp.concatenate(
+        [col_stack[:, :-1, :], col_stack[:, 1:, :]], axis=-1
+    ).reshape(-1, 12)  # [W·(N-1), 12] lo-channels then hi-channels
+    ray_pairs = jnp.stack(
+        [ray_h[:, :-1], path_len[:, :-1], ray_h[:, 1:], path_len[:, 1:]],
+        axis=-1,
+    ).reshape(-1, 4)  # [H·(N-1), 4]
+    n_col = terr_elev.shape[1]
+    n_ray = ray_h.shape[1]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (h_n, w_n), 1)
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (h_n, w_n), 0)
+
+    planes = {nm: [] for nm in ("key",) + _PLANE_CHANNELS}
+    zero = jnp.zeros((h_n, w_n), jnp.float32)
+    for k in range(max_hits):
+        sk = segs_t[k]
+        valid_k = sk < n_seg
+        ks = jnp.clip(sk, 0, min(n_col, n_ray) - 2)
+        # row gathers, transposed channel-leading behind a barrier so only
+        # the clean [C, H, W] form materializes (a [H, W, 12]-minor tensor
+        # under plane-slice consumers pads ~10× — see the docstring)
+        row_c = jnp.take(col_pairs, w_iota * (n_col - 1) + ks, axis=0)
+        gc = jax.lax.optimization_barrier(jnp.moveaxis(row_c, -1, 0))
+        # [12, H, W]: channels (dlat,dlon,elev,n0,n1,n2) lo then hi
+        row_r = jnp.take(ray_pairs, h_iota * (n_ray - 1) + ks, axis=0)
+        gr = jax.lax.optimization_barrier(jnp.moveaxis(row_r, -1, 0))
+        # [4, H, W]: (ray_h, path_len) lo then (ray_h, path_len) hi
+        d1 = gr[0] - gc[2]
+        d2 = gr[2] - gc[8]
+        denom = d1 - d2
+        prop = d1 / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
+        keyf = ks.astype(jnp.float32) + prop
+        lerp = lambda lo, hi: jnp.where(
+            valid_k, lo * (1.0 - prop) + hi * prop, 0.0
+        )
+        planes["key"].append(jnp.where(valid_k, keyf, combine.NO_HIT))
+        planes["dlat"].append(lerp(gc[0], gc[6]))
+        planes["dlon"].append(lerp(gc[1], gc[7]))
+        planes["elevation"].append(lerp(gc[2], gc[8]))
+        planes["nx"].append(lerp(gc[3], gc[9]))
+        planes["ny"].append(lerp(gc[4], gc[10]))
+        planes["nz"].append(lerp(gc[5], gc[11]))
+        planes["path_length"].append(lerp(gr[1], gr[3]))
+        planes["distance"].append(
+            jnp.where(valid_k, keyf * jnp.float32(step), 0.0)
+        )
+        planes["kind"].append(zero)
+        planes["cr"].append(zero)
+        planes["cg"].append(zero)
+        planes["cb"].append(zero)
+        planes["ca"].append(
+            jnp.where(valid_k, jnp.float32(terrain_alpha), 0.0)
+        )
+
+    # k_out caps metadata depth at max_hits + 6 extra object layers per
+    # pixel — beyond that, front-to-back compositing is visually saturated
+    # for any alpha the config grammar can express.
+    k_out = max_hits + min(2 * objects.n_objects, 6)
+    planes = apply_objects_planes(
+        planes, objects, model, lat0, lon0, step,
+        ray_h, path_len, dlat, dlon, obj_windows, k_out,
+    )
+    return _planes_to_hb(planes)
 
 
 def fast_core(
@@ -219,6 +393,7 @@ def fast_core(
     coloring,
     fog_distance: Optional[float],
     terrain_alpha: float,
+    obj_windows=None,
 ):
     """The whole Fast pipeline as one traceable function (vmappable for
     batched sweeps, shardable for multi-chip)."""
@@ -226,6 +401,7 @@ def fast_core(
         pack, table, objects, elev_deg, az_deg, alt0,
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
         max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
+        obj_windows=obj_windows,
     )
     image = composite(
         coloring,
@@ -247,7 +423,7 @@ _render_fast_device = functools.partial(
     jax.jit,
     static_argnames=(
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
-        "lon0", "coloring", "fog_distance", "terrain_alpha",
+        "lon0", "coloring", "fog_distance", "terrain_alpha", "obj_windows",
     ),
 )(fast_core)
 
@@ -270,7 +446,7 @@ def render_fast(params: Params, terrain: Terrain,
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
 
-    objset = ObjectSet.build(params, terrain) if params.objects else None
+    objset, obj_windows = build_objects_cached(params, terrain, az_deg, n_terr)
 
     image, hits = _render_fast_device(
         pack,
@@ -290,6 +466,7 @@ def render_fast(params: Params, terrain: Terrain,
         coloring=params.coloring,
         fog_distance=params.view.fog_distance,
         terrain_alpha=float(params.terrain_alpha),
+        obj_windows=obj_windows,
     )
     return RenderResult(
         # fetch FLAT: a [H, W, 3] u8 fetch pays a device-side de-tiling pass

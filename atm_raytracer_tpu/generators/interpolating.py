@@ -314,7 +314,7 @@ def interpolating_core(
     pack, table, objects, grid_elev_deg, grid_az_deg, alt0, *,
     cam, min_es, min_ds, i_min, j_min,
     model, shape, straight, step, n_terr, max_hits, lat0, lon0,
-    coloring, fog_distance, terrain_alpha,
+    coloring, fog_distance, terrain_alpha, obj_windows=None,
 ):
     # per-pixel grid coordinates are derived ON device from the (static)
     # camera parameters — uploading four [H, W] arrays through the host link
@@ -336,6 +336,7 @@ def interpolating_core(
         pack, table, objects, grid_elev_deg, grid_az_deg, alt0,
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
         max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
+        obj_windows=obj_windows,
     )
     hits = _interpolate_pixels(grid, gi, gj, rem_e, rem_d, step, 2 * grid.k_slots)
     image = composite(
@@ -351,7 +352,7 @@ _interp_device = functools.partial(
     static_argnames=(
         "cam", "min_es", "min_ds", "i_min", "j_min",
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
-        "lon0", "coloring", "fog_distance", "terrain_alpha",
+        "lon0", "coloring", "fog_distance", "terrain_alpha", "obj_windows",
     ),
 )(interpolating_core)
 
@@ -388,7 +389,11 @@ def render_interpolating(
     n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
     if max_hits is None:
         max_hits = 2 if params.terrain_alpha >= 1.0 else 4
-    objset = ObjectSet.build(params, terrain) if params.objects else None
+    from .fast import build_objects_cached
+
+    objset, obj_windows = build_objects_cached(
+        params, terrain, grid_az_deg, n_terr
+    )
 
     image, hits = _interp_device(
         pack, table, objset,
@@ -412,6 +417,7 @@ def render_interpolating(
         coloring=params.coloring,
         fog_distance=params.view.fog_distance,
         terrain_alpha=float(params.terrain_alpha),
+        obj_windows=obj_windows,
     )
 
     # ResultPixel angles: bilinear of the 4 corner grid angles (:408-415)

@@ -50,6 +50,7 @@ from ..physics.ray import (
     RefractionTable,
     march_rays,
     march_scan,
+    march_scan_light,
     rk4_window,
 )
 from ..terrain.sample import sample_elevation, sample_terrain_data
@@ -60,7 +61,7 @@ from .fast import build_refraction_table, terrain_bbox
 
 def _march_coarse(step: float) -> int:
     return int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
-        1, int(400.0 // step)
+        1, int(800.0 // step)
     )
 
 
@@ -135,49 +136,150 @@ def fused_shared_core(
     )
     stride = max(1, n_coarse // 32)
 
-    def consumer(carry, k0, h_f, plen_f, alive):
-        key, plh = carry  # [H, W, K] float keys / hit path lengths
-        c = h_f.shape[1] - 1
-        hw = h_f.reshape(h_n, w_n, c + 1)
-        plw = plen_f.reshape(h_n, w_n, c + 1)
-        t_sl = jax.lax.dynamic_slice(terr_pad, (0, k0), (w_n, c + 1))
-        d = hw - t_sl[None, :, :]  # one cube pass; segment ends are views
-        d1 = d[..., :-1]
-        d2 = d[..., 1:]
-        seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2) + k0
-        crossing = (
-            (d1 * d2 < 0.0) & alive.reshape(h_n, w_n, c) & (seg < n_seg)
+    def _progress_emit(k0, c):
+        frac = (k0.astype(jnp.float32) + c) / jnp.float32(n_coarse * coarse)
+        w_i = k0 // coarse
+        # always emit the FINAL window: when (n_coarse-1) is not a
+        # multiple of stride the 100% line would otherwise never fire
+        jax.lax.cond(
+            (w_i % stride == 0) | (w_i == n_coarse - 1),
+            lambda: jax.debug.callback(_emit_progress, frac, ordered=False),
+            lambda: None,
         )
-        cand = jnp.where(crossing, seg, combine.NO_HIT_SEG)
-        # min/top-k + one-hot multiply-sum payload extraction: take_along_axis
-        # lowers to per-lane gathers on TPU (ruinous ×n_coarse inside a scan);
-        # candidate segment ids are unique within a window, so the payload at
-        # a selected id is exactly Σ field·[cand == id] — pure VPU arithmetic.
-        if k == 1:
-            cmin = jnp.min(cand, axis=-1, keepdims=True)  # [H, W, 1]
-        else:
-            cmin = combine.k_smallest(cand, k)
-        ohf = (
-            (cand[..., None, :] == cmin[..., :, None])
-            & crossing[..., None, :]
-        ).astype(jnp.float32)  # [H, W, K, C]
-        sel = lambda x: jnp.sum(x[..., None, :] * ohf, axis=-1)
-        d1s = sel(d1)
-        d2s = sel(d2)
-        pl1 = sel(plw[..., :-1])
-        pl2 = sel(plw[..., 1:])
+
+    if k == 1:
+        # opaque fast path: the scan only answers "does this window contain
+        # a sign change?" (min over d1·d2 — 3 cube passes, no segment
+        # indices) and captures the window-start ODE state of each pixel's
+        # FIRST such window. Path length advances by RK4 quadrature
+        # (march_scan_light), and the exact segment, prop and path length
+        # come from ONE post-scan re-expansion of the captured window. The
+        # fine chord machinery + per-segment bookkeeping inside the scan
+        # cost more than the whole rest of the march (measured 0.41 s +
+        # 0.3 s of a 2.2 s scan at 1080p/200 km).
+        big_w = jnp.int32(n_coarse + 1)
+
+        def consumer(carry, k0, h_f, alive0, state):
+            best_w, s_h, s_v, s_p = carry
+            c = h_f.shape[1] - 1
+            hw = h_f.reshape(h_n, w_n, c + 1)
+            t_sl = jax.lax.dynamic_slice(terr_pad, (0, k0), (w_n, c + 1))
+            d = hw - t_sl[None, :, :]
+            mn = jnp.min(d[..., :-1] * d[..., 1:], axis=-1)  # [H, W]
+            has = (
+                (mn < 0.0)
+                & alive0.reshape(h_n, w_n)  # alive at window start
+                & (best_w >= big_w)
+            )
+            # within-window death or the final window's padded tail can make
+            # this a false positive — the post-scan exact test resolves both
+            h0, v0, p0 = state
+            s_h = jnp.where(has, h0.reshape(h_n, w_n), s_h)
+            s_v = jnp.where(has, v0.reshape(h_n, w_n), s_v)
+            s_p = jnp.where(has, p0.reshape(h_n, w_n), s_p)
+            best_w = jnp.where(has, jnp.int32(k0 // coarse), best_w)
+            if with_progress:
+                _progress_emit(k0, c)
+            return best_w, s_h, s_v, s_p
+
+        z2 = jnp.zeros((h_n, w_n), jnp.float32)
+        best_w, s_h, s_v, s_p = march_scan_light(
+            alt0, elev_hw.reshape(-1), step, n_seg, shape, table, straight,
+            consumer,
+            (jnp.full((h_n, w_n), big_w, jnp.int32), z2, z2, z2),
+            coarse=coarse,
+        )
+        # -- post: re-expand the captured window (bitwise the fine values
+        # the scan saw) and run the exact per-segment test as [H, W] planes.
+        valid_w = best_w < big_w
+        bw = jnp.where(valid_w, best_w, 0)
+        h_fw, plen_fw, _, _ = rk4_window(
+            s_h.reshape(-1), s_v.reshape(-1), s_p.reshape(-1),
+            step, coarse, table, straight, shape.radius,
+        )  # [P, C+1]
+        h_pl = jax.lax.optimization_barrier(
+            jnp.moveaxis(h_fw.reshape(h_n, w_n, coarse + 1), -1, 0)
+        )  # [C+1, H, W] planes
+        p_pl = jax.lax.optimization_barrier(
+            jnp.moveaxis(plen_fw.reshape(h_n, w_n, coarse + 1), -1, 0)
+        )
+        # window-aligned terrain rows: [W, n_coarse, C+1] built by pure
+        # reshapes, fetched with ONE contiguous row-gather per pixel
+        a_w = terr_pad[:, : n_coarse * coarse].reshape(w_n, n_coarse, coarse)
+        b_w = terr_pad[:, coarse::coarse][:, :n_coarse, None]
+        terr_win = jnp.concatenate([a_w, b_w], axis=-1).reshape(
+            -1, coarse + 1
+        )  # [W·n_coarse, C+1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (h_n, w_n), 1)
+        rows = jnp.take(terr_win, col * n_coarse + bw, axis=0)
+        t_pl = jax.lax.optimization_barrier(jnp.moveaxis(rows, -1, 0))
+        # exact local test, unrolled over the C window segments
+        kglob0 = bw * coarse  # [H, W] global index of window start
+        found = jnp.zeros((h_n, w_n), bool)
+        dead = h_pl[0] < jnp.float32(-1000.0)
+        d1s = z2
+        d2s = z2
+        pl1 = z2
+        pl2 = z2
+        j_star = jnp.zeros((h_n, w_n), jnp.float32)
+        for j in range(coarse):
+            d_lo = h_pl[j] - t_pl[j]
+            d_hi = h_pl[j + 1] - t_pl[j + 1]
+            cross = (
+                (d_lo * d_hi < 0.0) & ~dead & (kglob0 + j < n_seg) & ~found
+            )
+            d1s = jnp.where(cross, d_lo, d1s)
+            d2s = jnp.where(cross, d_hi, d2s)
+            pl1 = jnp.where(cross, p_pl[j], pl1)
+            pl2 = jnp.where(cross, p_pl[j + 1], pl2)
+            j_star = jnp.where(cross, jnp.float32(j), j_star)
+            found = found | cross
+            dead = dead | (h_pl[j + 1] < jnp.float32(-1000.0))
+        valid1 = valid_w & found
         denom = d1s - d2s
         prop = d1s / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
-        found = cmin < combine.NO_HIT_SEG
-        keyc = jnp.where(
-            found, cmin.astype(jnp.float32) + prop, combine.NO_HIT
-        )
-        plc = pl1 * (1.0 - prop) + pl2 * prop
-        if k == 1:
-            better = keyc < key
-            key = jnp.where(better, keyc, key)
-            plh = jnp.where(better, plc, plh)
-        else:
+        key = jnp.where(
+            valid1, kglob0.astype(jnp.float32) + j_star + prop,
+            combine.NO_HIT,
+        )[..., None]
+        plh = (pl1 * (1.0 - prop) + pl2 * prop)[..., None]
+    else:
+        def consumer(carry, k0, h_f, plen_f, alive):
+            key, plh = carry  # [H, W, K] float keys / hit path lengths
+            c = h_f.shape[1] - 1
+            hw = h_f.reshape(h_n, w_n, c + 1)
+            plw = plen_f.reshape(h_n, w_n, c + 1)
+            t_sl = jax.lax.dynamic_slice(terr_pad, (0, k0), (w_n, c + 1))
+            d = hw - t_sl[None, :, :]  # one cube pass; ends are views
+            d1 = d[..., :-1]
+            d2 = d[..., 1:]
+            seg = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2) + k0
+            crossing = (
+                (d1 * d2 < 0.0) & alive.reshape(h_n, w_n, c) & (seg < n_seg)
+            )
+            cand = jnp.where(crossing, seg, combine.NO_HIT_SEG)
+            # k_smallest + one-hot multiply-sum payload extraction:
+            # take_along_axis lowers to per-lane gathers on TPU (ruinous
+            # ×n_coarse inside a scan); candidate segment ids are unique
+            # within a window, so the payload at a selected id is exactly
+            # Σ field·[cand == id] — pure VPU arithmetic.
+            cmin = combine.k_smallest(cand, k)
+            ohf = (
+                (cand[..., None, :] == cmin[..., :, None])
+                & crossing[..., None, :]
+            ).astype(jnp.float32)  # [H, W, K, C]
+            sel = lambda x: jnp.sum(x[..., None, :] * ohf, axis=-1)
+            d1s = sel(d1)
+            d2s = sel(d2)
+            pl1 = sel(plw[..., :-1])
+            pl2 = sel(plw[..., 1:])
+            denom = d1s - d2s
+            prop = d1s / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
+            found = cmin < combine.NO_HIT_SEG
+            keyc = jnp.where(
+                found, cmin.astype(jnp.float32) + prop, combine.NO_HIT
+            )
+            plc = pl1 * (1.0 - prop) + pl2 * prop
             # merge with the carry: keys are globally unique per pixel
             # (disjoint windows), so the same one-hot trick re-pairs the
             # path lengths with the merged top-k keys; the inf slots all
@@ -192,42 +294,60 @@ def fused_shared_core(
             plh = jnp.sum(all_p[..., None, :] * oh2, axis=-1) / jnp.maximum(
                 matches, 1.0
             )
-        if with_progress:
-            frac = (k0.astype(jnp.float32) + c) / jnp.float32(n_coarse * coarse)
-            w_i = k0 // coarse
-            # always emit the FINAL window: when (n_coarse-1) is not a
-            # multiple of stride the 100% line would otherwise never fire
-            jax.lax.cond(
-                (w_i % stride == 0) | (w_i == n_coarse - 1),
-                lambda: jax.debug.callback(_emit_progress, frac, ordered=False),
-                lambda: None,
-            )
-        return key, plh
+            if with_progress:
+                _progress_emit(k0, c)
+            return key, plh
 
-    key0 = jnp.full((h_n, w_n, k), combine.NO_HIT)
-    plh0 = jnp.zeros((h_n, w_n, k), jnp.float32)
-    key, plh = march_scan(
-        alt0, elev_hw.reshape(-1), step, n_seg, shape, table, straight,
-        consumer, (key0, plh0), coarse=coarse,
-    )
+        key0 = jnp.full((h_n, w_n, k), combine.NO_HIT)
+        plh0 = jnp.zeros((h_n, w_n, k), jnp.float32)
+        key, plh = march_scan(
+            alt0, elev_hw.reshape(-1), step, n_seg, shape, table, straight,
+            consumer, (key0, plh0), coarse=coarse,
+        )
 
     valid = jnp.isfinite(key)
     safe = jnp.where(valid, key, 0.0)
     ks = jnp.floor(safe).astype(jnp.int32)
     prop = safe - ks.astype(jnp.float32)
-    c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 6]
-    hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
+    if k == 1:
+        # channel-plane reconstruction: ONE 48 B pair-row gather per pixel,
+        # transposed channel-leading (the [H, W, K, D] form costs ~4× here)
+        col_pairs = jnp.concatenate(
+            [stacked[:, :-1, :], stacked[:, 1:, :]], axis=-1
+        ).reshape(-1, 12)  # [W·(N-1), 12]
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (h_n, w_n), 1)
+        base = w_iota * (n_terr - 1) + jnp.clip(ks[..., 0], 0, n_terr - 2)
+        g = jax.lax.optimization_barrier(
+            jnp.moveaxis(jnp.take(col_pairs, base, axis=0), -1, 0)
+        )  # [12, H, W]: (dlat,dlon,elev,n0,n1,n2) lo then hi
+        pr = prop[..., 0]
+        pl_ = lambda lo, hi: (lo * (1.0 - pr) + hi * pr)[..., None]
+        hit_dlat = pl_(g[0], g[6])
+        hit_dlon = pl_(g[1], g[7])
+        hit_elev = pl_(g[2], g[8])
+        hit_normal = jnp.stack(
+            [pl_(g[3], g[9])[..., 0], pl_(g[4], g[10])[..., 0],
+             pl_(g[5], g[11])[..., 0]],
+            axis=-1,
+        )[..., None, :]
+    else:
+        c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 6]
+        hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
+        hit_dlat = hit_stack[..., 0]
+        hit_dlon = hit_stack[..., 1]
+        hit_elev = hit_stack[..., 2]
+        hit_normal = hit_stack[..., 3:6]
     rgba = jnp.zeros((h_n, w_n, k, 4), jnp.float32)
     rgba = rgba.at[..., 3].set(jnp.float32(terrain_alpha))
     hits = HitBuffer(
         valid=valid,
         key=key,
-        dlat=hit_stack[..., 0],
-        dlon=hit_stack[..., 1],
+        dlat=hit_dlat,
+        dlon=hit_dlon,
         distance=safe * jnp.float32(step),
-        elevation=hit_stack[..., 2],
+        elevation=hit_elev,
         path_length=plh,
-        normal=hit_stack[..., 3:6],
+        normal=hit_normal,
         kind=jnp.zeros((h_n, w_n, k), jnp.int32),
         rgba=rgba,
     )

@@ -46,6 +46,10 @@ def _euler_zyx(yaw: float, pitch: float) -> np.ndarray:
     return rz @ ry
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def rectilinear_ray_params(
     width: int, height: int, fov: float, tilt: float, direction: float
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -54,6 +58,10 @@ def rectilinear_ray_params(
     z = focal length in pixels = (W/2) / tan(fov/2); camera vector
     [z, x_off, -y_off] in [forward, right, up]; rotated by yaw=direction,
     pitch=-tilt; elevation = asin(z'), direction = atan2(y', x').
+
+    Memoized (the camera args are plain floats): ~150 ms of host f64 trig
+    per 1080p call otherwise dominates repeat-render walls. Callers must
+    not mutate the returned arrays.
     """
     x = (np.arange(width) - width // 2).astype(np.float64)
     y = (np.arange(height) - height // 2).astype(np.float64)

@@ -14,6 +14,13 @@ endpoints (utils.rs:241-279). Here each object gets a static
 window-segment) test runs in lockstep, and per-pixel results reduce to the K
 earliest hits.
 
+The column windows (``object_col_windows``) are computed on HOST per render
+from the model's own f64 geodesics: only azimuth columns whose geodesic
+passes within the culling radius participate, so the per-object candidate
+tensors are [H, W_window, seg_window] instead of [H, W, seg_window] — the
+memory bound that lets 1080p-class object scenes compile — and each object
+merges into just its window of the frame's hit buffer.
+
 Geometry runs in each object's local ENU frame (models.earth.enu_rel):
 mm-accurate in f32 within culling radii, and the frame's up vector IS the
 reference's ``v = world_directions(...).2`` (frustum.rs:31-34). Normals are
@@ -58,6 +65,9 @@ class ObjectSet:
     n_objects: int
     seg_window: int  # march-steps window (covers the culling chord)
     kinds_static: tuple  # per-object kind (0 frustum / 1 billboard), static
+    # host-side per-object (lat, lon, elev, cull_radius_m) for window
+    # planning (object_col_windows); static floats, part of the jit key
+    host_meta: tuple = ()
 
     def tree_flatten(self):
         children = (
@@ -65,12 +75,13 @@ class ObjectSet:
             self.height, self.width, self.rgba, self.basis, self.tex_id,
             self.textures, self.tex_hw, self.cull_r2,
         )
-        return children, (self.n_objects, self.seg_window, self.kinds_static)
+        return children, (self.n_objects, self.seg_window, self.kinds_static,
+                          self.host_meta)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, n_objects=aux[0], seg_window=aux[1],
-                   kinds_static=aux[2])
+                   kinds_static=aux[2], host_meta=aux[3])
 
     @staticmethod
     def build(params, terrain) -> Optional["ObjectSet"]:
@@ -128,6 +139,11 @@ class ObjectSet:
         # region along a ray is at most 2·cull_radius long
         max_chord = 2.0 * math.sqrt(float(cull_r2.max()))
         seg_window = int(min(64, max(4, math.ceil(max_chord / step) + 3)))
+        host_meta = tuple(
+            (float(o.lat), float(o.lon), float(o.elev),
+             float(math.sqrt(cull_r2[i])))
+            for i, o in enumerate(objs)
+        )
         return ObjectSet(
             kind=jnp.asarray(kind), dlat=jnp.asarray(dlat), dlon=jnp.asarray(dlon),
             elev=jnp.asarray(elev), r1=jnp.asarray(r1), r2=jnp.asarray(r2),
@@ -137,7 +153,87 @@ class ObjectSet:
             tex_hw=jnp.asarray(tex_hw), cull_r2=jnp.asarray(cull_r2),
             n_objects=n, seg_window=seg_window,
             kinds_static=tuple(int(k) for k in kind),
+            host_meta=host_meta,
         )
+
+
+def object_col_windows(
+    objects: ObjectSet,
+    model: EarthModel,
+    lat0: float,
+    lon0: float,
+    az_deg: np.ndarray,
+    step: float,
+    n_terr: int,
+    stride: int = 2,
+    pad: int = 2,
+) -> tuple:
+    """Static per-object azimuth-column windows for the separable generators.
+
+    For each object, the columns whose geodesic ray passes within its culling
+    radius (``is_close``, frustum.rs:103-114) — everything outside can never
+    intersect, so the device program only builds candidate tensors over the
+    window. Computed with the model's own host-f64 geodesics
+    (``coords_at_dist_host``) at ``stride`` march-steps of along-track
+    resolution, widened by the between-sample movement bound (stride·step)
+    plus ``pad`` columns — conservative for every earth model.
+
+    Returns a tuple of (col_lo, n_cols) per object; n_cols = 0 means the
+    object is out of view for this azimuth grid.
+    """
+    az = np.asarray(az_deg, np.float64)
+    w = az.shape[0]
+    dists = np.arange(1, max(n_terr, 2), stride, np.float64) * step  # [D]
+    glat, glon = model.coords_at_dist_host(lat0, lon0, az[:, None], dists[None, :])
+    # cartesian at elevation 0: raising both the geodesic point and the
+    # object by the object's altitude changes their separation by at most
+    # |p−c|·elev/R — negligible at culling-radius scales (see margin)
+    p = model.as_cartesian(glat, glon, np.zeros_like(glat))  # [W, D, 3]
+    meta = np.asarray(
+        [(m[0], m[1], m[3]) for m in objects.host_meta], np.float64
+    )  # [n] (lat, lon, cull_r)
+    c = model.as_cartesian(meta[:, 0], meta[:, 1], np.zeros(len(meta)))  # [n, 3]
+    # one vectorized pass over all objects: [n, W] min distance² over D,
+    # via |p|² + |c|² − 2 p·c (the p·c term is one BLAS matmul)
+    p2 = (p * p).sum(-1)  # [W, D]
+    c2 = (c * c).sum(-1)  # [n]
+    pc = p.reshape(-1, 3) @ c.T  # [W·D, n]
+    d2 = (
+        (p2.reshape(-1, 1) + c2[None, :] - 2.0 * pc)
+        .reshape(w, -1, len(meta)).min(axis=1).T
+    )
+    rr = meta[:, 2] + stride * step + 1.0
+    windows = []
+    for oi in range(len(meta)):
+        idx = np.nonzero(d2[oi] < rr[oi] * rr[oi])[0]
+        if idx.size == 0:
+            windows.append((0, 0))
+            continue
+        lo = max(0, int(idx[0]) - pad)
+        hi = min(w - 1, int(idx[-1]) + pad)
+        windows.append((lo, hi - lo + 1))
+    return tuple(windows)
+
+
+def pad_hit_slots(hb: HitBuffer, k: int) -> HitBuffer:
+    """Widen a hit buffer to k slots; new slots are invalid (+inf keys)."""
+    k0 = hb.k_slots
+    if k0 == k:
+        return hb
+    base = hb.valid.ndim
+
+    def pad(x, fill=0):
+        ax = x.ndim - 1 if x.ndim == base else x.ndim - 2
+        pads = [(0, 0)] * x.ndim
+        pads[ax] = (0, k - k0)
+        return jnp.pad(x, pads, constant_values=fill)
+
+    return HitBuffer(
+        valid=pad(hb.valid, False), key=pad(hb.key, NO_HIT),
+        dlat=pad(hb.dlat), dlon=pad(hb.dlon), distance=pad(hb.distance),
+        elevation=pad(hb.elevation), path_length=pad(hb.path_length),
+        normal=pad(hb.normal), kind=pad(hb.kind), rgba=pad(hb.rgba),
+    )
 
 
 def _sample_texture(textures, tex_hw, tex_id, u, v):
@@ -251,7 +347,245 @@ def _billboard_hit(p1, p2, width, height):
     return prop, front, u, v, ok
 
 
-def object_hits_fast(
+def _object_window_planes(
+    objects: ObjectSet,
+    oi: int,
+    model: EarthModel,
+    lat0: float,
+    lon0: float,
+    step: float,
+    ray_h: jnp.ndarray,  # [H, N]
+    path_len: jnp.ndarray,  # [H, N]
+    dlat: jnp.ndarray,  # [Wo, N] terrain-cache geodesic (column window)
+    dlon: jnp.ndarray,  # [Wo, N]
+    k_per_object: int,
+) -> HitBuffer:
+    """One object's hits over its column window of the separable grid.
+
+    Finds per column the first march step inside the culling radius
+    (utils.rs:74-80 semantics), tests a static window of
+    ``objects.seg_window`` segments from there for every row-ray, and keeps
+    the ``k_per_object`` earliest hits per pixel. Returns a plane dict
+    {channel: [Kp planes of [H, Wo]]} (see _PLANE_CHANNELS).
+    """
+    h_n, n_path = ray_h.shape
+    w_n, n_t = dlat.shape
+    kw = objects.seg_window
+
+    o_dlat = objects.dlat[oi]
+    o_dlon = objects.dlon[oi]
+    o_elev = objects.elev[oi]
+    # culling: horizontal distance² at the object's altitude
+    # (frustum.rs:103-114): enu of terrain points w/ elev = object elev
+    rel = model.enu_rel(
+        dlat, dlon, jnp.broadcast_to(o_elev, dlat.shape),
+        o_dlat, o_dlon, o_elev, lat0,
+    )  # [Wo, N, 3]
+    d2 = (rel * rel).sum(-1)
+    close = d2 < objects.cull_r2[oi]  # [Wo, N]
+    any_close = close.any(axis=1)
+    first_k = jnp.where(any_close, jnp.argmax(close, axis=1), n_t)
+    # window starts one step early (segment (k-1, k) also sees the object
+    # via its far end — utils.rs:241-250 checks old OR new point)
+    k_lo = jnp.clip(first_k - 1, 0, max(n_t - kw - 1, 0))  # [Wo]
+
+    # gather window geodesic points per column: [Wo, kw+1]
+    offs = jnp.arange(kw + 1)
+    k_idx = jnp.minimum(k_lo[:, None] + offs[None, :], n_t - 1)
+    g_dlat = jnp.take_along_axis(dlat, k_idx, axis=1)
+    g_dlon = jnp.take_along_axis(dlon, k_idx, axis=1)
+    g_close = jnp.take_along_axis(close, k_idx, axis=1)
+    # ray altitude at the window steps: ONE take of ray_h's columns at
+    # the [Wo·(kw+1)] window indices — never broadcast the [H, W, N] cube
+    # (a broadcast+take_along there cost ~10× the whole object pass)
+    rh = jnp.take(
+        ray_h, jnp.minimum(k_idx.reshape(-1), n_path - 1), axis=1
+    ).reshape(h_n, w_n, kw + 1)
+    p = model.enu_rel(
+        jnp.broadcast_to(g_dlat[None], rh.shape),
+        jnp.broadcast_to(g_dlon[None], rh.shape),
+        rh,
+        o_dlat, o_dlon, o_elev, lat0,
+    )  # [H, Wo, kw+1, 3]
+    # materialize: without the barrier XLA remats this trig-heavy chain
+    # into every consumer of the intersection math (~8× recompute, was
+    # 13.9 s of a 14.5 s objects frame in one fused loop)
+    p = jax.lax.optimization_barrier(p)
+    p1 = p[..., :-1, :]
+    p2 = p[..., 1:, :]
+    # segment eligible if either end close (utils.rs:241-250)
+    seg_close = g_close[..., :-1] | g_close[..., 1:]  # [Wo, kw]
+    seg_k = (k_idx[:, :-1]).astype(jnp.float32)  # [Wo, kw] global seg idx
+
+    is_frustum = objects.kinds_static[oi] == 0
+    if is_frustum:
+        props, normals_loc, valid = _frustum_hits(
+            p1, p2, objects.r1[oi], objects.r2[oi], objects.height[oi]
+        )  # [..., kw, 4], [..., kw, 4, 3]
+        rgba = jnp.broadcast_to(objects.rgba[oi], props.shape + (4,))
+    else:
+        prop, front, u, v, ok = _billboard_hit(
+            p1, p2, objects.width[oi], objects.height[oi]
+        )
+        texed = _sample_texture(
+            objects.textures, objects.tex_hw, objects.tex_id[oi], u, v
+        )
+        has_tex = objects.tex_id[oi] >= 0
+        rgba1 = jnp.where(has_tex, texed, jnp.broadcast_to(objects.rgba[oi], texed.shape))
+        props = prop[..., None]
+        normals_loc = front[..., None, :]
+        valid = ok[..., None]
+        rgba = rgba1[..., None, :]
+
+    valid = valid & seg_close[None, :, :, None]
+    # skip fully transparent texels (utils.rs:258-259)
+    valid = valid & (rgba[..., 3] > 0.0)
+    keys = jnp.where(
+        valid, seg_k[None, :, :, None] + jnp.clip(props, 0.0, 0.999999), NO_HIT
+    )  # [H, Wo, kw, n_sub]
+    keys_flat = keys.reshape(h_n, w_n, -1)
+    normals_flat = normals_loc.reshape(h_n, w_n, -1, 3)
+    rgba_flat = rgba.reshape(h_n, w_n, -1, 4)
+
+    # Kp earliest hits as PLANES: successive masked mins + equality one-hot
+    # payload extraction — no top_k (full sort), no take_along_axis
+    # (per-lane gathers), no [H, Wo, Kp, D] tensors (layout poison; see
+    # _PLANE_CHANNELS). Duplicate equal keys average, like merge_hits.
+    from .combine import gather_column_field, gather_ray_field
+
+    b = objects.basis[oi]  # rows = (east, north, up) global cartesian
+    planes = {nm: [] for nm in ("key",) + _PLANE_CHANNELS}
+    cur = keys_flat
+    for k in range(k_per_object):
+        m = jnp.min(cur, axis=-1)  # [H, Wo]
+        if k + 1 < k_per_object:
+            cur = jnp.where(cur <= m[..., None], NO_HIT, cur)
+        vk = jnp.isfinite(m)
+        z = lambda x: jnp.where(vk, x, 0.0)
+        eqf = ((keys_flat == m[..., None]) & jnp.isfinite(keys_flat)).astype(
+            jnp.float32
+        )
+        inv_cnt = 1.0 / jnp.maximum(eqf.sum(-1), 1.0)
+        nloc = [
+            jnp.sum(normals_flat[..., d] * eqf, -1) * inv_cnt for d in range(3)
+        ]
+        safe = jnp.where(vk, m, 0.0)
+        planes["key"].append(jnp.where(vk, m, NO_HIT))
+        planes["dlat"].append(z(gather_column_field(dlat, safe)))
+        planes["dlon"].append(z(gather_column_field(dlon, safe)))
+        planes["distance"].append(safe * jnp.float32(step))
+        # TracePoint fields at the hit (utils.rs:261-273): lat/lon/dist/
+        # path_length lerped along the march; elevation = RAY elevation.
+        planes["elevation"].append(z(gather_ray_field(ray_h, safe)))
+        planes["path_length"].append(z(gather_ray_field(path_len, safe)))
+        for d, nm in enumerate(("nx", "ny", "nz")):
+            planes[nm].append(
+                z(nloc[0] * b[0, d] + nloc[1] * b[1, d] + nloc[2] * b[2, d])
+            )
+        planes["kind"].append(vk.astype(jnp.float32))
+        for d, nm in enumerate(("cr", "cg", "cb", "ca")):
+            planes[nm].append(z(jnp.sum(rgba_flat[..., d] * eqf, -1) * inv_cnt))
+    return planes
+
+
+# plane-list form of a hit buffer: every (field, slot) is its own 2-D
+# [H, W] plane. Small trailing dims (K = 2-10, D = 3-4) are layout poison
+# on TPU — XLA's (8, 128)-tiling pads a K-minor tensor up to 32× (measured:
+# a [1080, 1920, 4, 12] temp inflated to 11.9 GB), and slice/concat/merge
+# consumers force exactly those layouts. Unrolling K and D into python
+# lists of big 2-D planes keeps every op perfectly tiled.
+_PLANE_CHANNELS = (
+    "dlat", "dlon", "distance", "elevation", "path_length", "kind",
+    "nx", "ny", "nz", "cr", "cg", "cb", "ca",
+)
+
+
+def _hb_to_planes(hb: HitBuffer) -> dict:
+    """Explode a [..., K] HitBuffer into {channel: [K planes]}; invalid
+    slots carry key=+inf and zero payloads (the merge's match-count guard
+    relies on that)."""
+    k = hb.k_slots
+    val = [hb.valid[..., i] for i in range(k)]
+
+    def z(x, i):
+        return jnp.where(val[i], x[..., i], 0.0)
+
+    planes = {"key": [jnp.where(val[i], hb.key[..., i], NO_HIT) for i in range(k)]}
+    for name in ("dlat", "dlon", "distance", "elevation", "path_length"):
+        arr = getattr(hb, name)
+        planes[name] = [z(arr, i) for i in range(k)]
+    planes["kind"] = [
+        jnp.where(val[i], hb.kind[..., i].astype(jnp.float32), 0.0)
+        for i in range(k)
+    ]
+    for d, nm in enumerate(("nx", "ny", "nz")):
+        planes[nm] = [jnp.where(val[i], hb.normal[..., i, d], 0.0) for i in range(k)]
+    for d, nm in enumerate(("cr", "cg", "cb", "ca")):
+        planes[nm] = [jnp.where(val[i], hb.rgba[..., i, d], 0.0) for i in range(k)]
+    return planes
+
+
+def _planes_to_hb(planes: dict) -> HitBuffer:
+    key = jnp.stack(planes["key"], axis=-1)
+    k = len(planes["key"])
+    normal = jnp.stack(
+        [jnp.stack([planes[nm][i] for nm in ("nx", "ny", "nz")], axis=-1)
+         for i in range(k)],
+        axis=-2,
+    )
+    rgba = jnp.stack(
+        [jnp.stack([planes[nm][i] for nm in ("cr", "cg", "cb", "ca")], axis=-1)
+         for i in range(k)],
+        axis=-2,
+    )
+    stk = lambda nm: jnp.stack(planes[nm], axis=-1)
+    return HitBuffer(
+        valid=jnp.isfinite(key),
+        key=key,
+        dlat=stk("dlat"),
+        dlon=stk("dlon"),
+        distance=stk("distance"),
+        elevation=stk("elevation"),
+        path_length=stk("path_length"),
+        normal=normal,
+        kind=jnp.rint(stk("kind")).astype(jnp.int32),
+        rgba=rgba,
+    )
+
+
+def _merge_planes(a: dict, b: dict, k_out: int) -> dict:
+    """Keep the k_out earliest keys of two plane-sets (same merge semantics
+    as ``merge_hits``: successive masked mins + equality-match payload
+    extraction — pure elementwise [H, W] arithmetic, no gathers, no
+    dot_generals, no small-minor-dim tensors)."""
+    keys = a["key"] + b["key"]
+    cur = list(keys)
+    sel = []
+    for s in range(k_out):
+        m = cur[0]
+        for c in cur[1:]:
+            m = jnp.minimum(m, c)
+        sel.append(m)
+        if s + 1 < k_out:
+            cur = [jnp.where(c <= m, NO_HIT, c) for c in cur]
+    out = {"key": sel}
+    eq = [[(keys[i] == sel[s]).astype(jnp.float32) for i in range(len(keys))]
+          for s in range(k_out)]
+    inv_match = [
+        1.0 / jnp.maximum(sum(eq[s][1:], eq[s][0]), 1.0) for s in range(k_out)
+    ]
+    for nm in _PLANE_CHANNELS:
+        vals = a[nm] + b[nm]
+        out[nm] = [
+            sum((vals[i] * eq[s][i] for i in range(1, len(vals))),
+                vals[0] * eq[s][0]) * inv_match[s]
+            for s in range(k_out)
+        ]
+    return out
+
+
+def apply_objects_planes(
+    planes: dict,  # {channel: [K planes of [H, W]]} terrain hits
     objects: ObjectSet,
     model: EarthModel,
     lat0: float,
@@ -259,136 +593,82 @@ def object_hits_fast(
     step: float,
     ray_h: jnp.ndarray,  # [H, N]
     path_len: jnp.ndarray,  # [H, N]
-    dlat: jnp.ndarray,  # [W, N] terrain-cache geodesic (observer-relative)
+    dlat: jnp.ndarray,  # [W, N]
     dlon: jnp.ndarray,  # [W, N]
+    col_windows,  # static tuple of per-object (lo, n), or None = full width
+    k_out: int,
+    k_per_object: int = 2,
+) -> dict:
+    """Merge every object's hits into the frame's hit planes, windowed.
+
+    The terrain planes widen to ``k_out`` slots; each object then computes
+    its window-plane hits and merges into just its column window. The heavy
+    candidate tensors never span the full frame width, and the merge is
+    pure 2-D elementwise arithmetic (see _PLANE_CHANNELS note). Sequential
+    merges keep the k_out earliest hits per pixel, so overlapping windows
+    compose correctly.
+    """
+    w_n = dlat.shape[0]
+    if col_windows is None:
+        col_windows = ((0, w_n),) * objects.n_objects
+    shape2 = planes["key"][0].shape
+    n_pad = k_out - len(planes["key"])
+    planes = dict(planes)
+    planes["key"] = planes["key"] + [jnp.full(shape2, NO_HIT)] * n_pad
+    zero = jnp.zeros(shape2, jnp.float32)
+    for nm in _PLANE_CHANNELS:
+        planes[nm] = planes[nm] + [zero] * n_pad
+
+    for oi in range(objects.n_objects):
+        lo, wn = col_windows[oi]
+        if wn == 0:
+            continue
+        obj_planes = _object_window_planes(
+            objects, oi, model, lat0, lon0, step, ray_h, path_len,
+            jax.lax.slice_in_dim(dlat, lo, lo + wn, axis=0),
+            jax.lax.slice_in_dim(dlon, lo, lo + wn, axis=0),
+            k_per_object,
+        )
+        win = {
+            nm: [jax.lax.slice_in_dim(p, lo, lo + wn, axis=1) for p in ps]
+            for nm, ps in planes.items()
+        }
+        merged = _merge_planes(win, obj_planes, k_out)
+        planes = {
+            nm: [
+                jnp.concatenate(
+                    [jax.lax.slice_in_dim(p, 0, lo, axis=1), m,
+                     jax.lax.slice_in_dim(p, lo + wn, w_n, axis=1)],
+                    axis=1,
+                )
+                for p, m in zip(ps, merged[nm])
+            ]
+            for nm, ps in planes.items()
+        }
+    return planes
+
+
+def apply_objects_separable(
+    hits: HitBuffer,
+    objects: ObjectSet,
+    model: EarthModel,
+    lat0: float,
+    lon0: float,
+    step: float,
+    ray_h: jnp.ndarray,
+    path_len: jnp.ndarray,
+    dlat: jnp.ndarray,
+    dlon: jnp.ndarray,
+    col_windows,
+    k_out: int,
     k_per_object: int = 2,
 ) -> HitBuffer:
-    """Hits of all objects against the separable (row-ray × column) grid.
-
-    For each object: find per column the first march step inside its culling
-    radius (utils.rs:74-80 semantics), test a static window of
-    ``objects.seg_window`` segments from there for every row-ray, and keep the
-    ``k_per_object`` earliest hits per pixel; objects merge sequentially.
-    """
-    h_n, n_path = ray_h.shape
-    w_n, n_t = dlat.shape
-    kw = objects.seg_window
-    shape_radius = None
-    shp = model.to_shape()
-
-    parts = []
-    for oi in range(objects.n_objects):
-        o_dlat = objects.dlat[oi]
-        o_dlon = objects.dlon[oi]
-        o_elev = objects.elev[oi]
-        # culling: horizontal distance² at the object's altitude
-        # (frustum.rs:103-114): enu of terrain points w/ elev = object elev
-        rel = model.enu_rel(
-            dlat, dlon, jnp.broadcast_to(o_elev, dlat.shape),
-            o_dlat, o_dlon, o_elev, lat0,
-        )  # [W, N, 3]
-        d2 = (rel * rel).sum(-1)
-        close = d2 < objects.cull_r2[oi]  # [W, N]
-        any_close = close.any(axis=1)
-        first_k = jnp.where(any_close, jnp.argmax(close, axis=1), n_t)
-        # window starts one step early (segment (k-1, k) also sees the object
-        # via its far end — utils.rs:241-250 checks old OR new point)
-        k_lo = jnp.clip(first_k - 1, 0, max(n_t - kw - 1, 0))  # [W]
-
-        # gather window geodesic points per column: [W, kw+1]
-        offs = jnp.arange(kw + 1)
-        k_idx = jnp.minimum(k_lo[:, None] + offs[None, :], n_t - 1)
-        g_dlat = jnp.take_along_axis(dlat, k_idx, axis=1)
-        g_dlon = jnp.take_along_axis(dlon, k_idx, axis=1)
-        g_close = jnp.take_along_axis(close, k_idx, axis=1)
-        # horizontal components of enu_rel don't depend on the ray height
-        # beyond the tiny radial factor; compute full rel per (h, w, j):
-        # [H, W, kw+1, 3] is too big in one piece for huge frames, but the
-        # windows keep it ~H·W·kw — chunk over W if needed.
-        # ray altitude at the window steps: ONE take of ray_h's columns at
-        # the [W·(kw+1)] window indices — never broadcast the [H, W, N] cube
-        # (a broadcast+take_along there cost ~10× the whole object pass)
-        rh = jnp.take(
-            ray_h, jnp.minimum(k_idx.reshape(-1), n_path - 1), axis=1
-        ).reshape(h_n, w_n, kw + 1)
-        p = model.enu_rel(
-            jnp.broadcast_to(g_dlat[None], rh.shape),
-            jnp.broadcast_to(g_dlon[None], rh.shape),
-            rh,
-            o_dlat, o_dlon, o_elev, lat0,
-        )  # [H, W, kw+1, 3]
-        # materialize: without the barrier XLA remats this trig-heavy chain
-        # into every consumer of the intersection math (~8× recompute, was
-        # 13.9 s of a 14.5 s objects frame in one fused loop)
-        p = jax.lax.optimization_barrier(p)
-        p1 = p[..., :-1, :]
-        p2 = p[..., 1:, :]
-        # segment eligible if either end close (utils.rs:241-250)
-        seg_close = g_close[..., :-1] | g_close[..., 1:]  # [W, kw]
-        seg_k = (k_idx[:, :-1]).astype(jnp.float32)  # [W, kw] global seg idx
-
-        is_frustum = objects.kinds_static[oi] == 0
-        if is_frustum:
-            props, normals_loc, valid = _frustum_hits(
-                p1, p2, objects.r1[oi], objects.r2[oi], objects.height[oi]
-            )  # [..., kw, 4], [..., kw, 4, 3]
-            rgba = jnp.broadcast_to(objects.rgba[oi], props.shape + (4,))
-        else:
-            prop, front, u, v, ok = _billboard_hit(
-                p1, p2, objects.width[oi], objects.height[oi]
-            )
-            texed = _sample_texture(
-                objects.textures, objects.tex_hw, objects.tex_id[oi], u, v
-            )
-            has_tex = objects.tex_id[oi] >= 0
-            rgba1 = jnp.where(has_tex, texed, jnp.broadcast_to(objects.rgba[oi], texed.shape))
-            props = prop[..., None]
-            normals_loc = front[..., None, :]
-            valid = ok[..., None]
-            rgba = rgba1[..., None, :]
-
-        valid = valid & seg_close[None, :, :, None]
-        # skip fully transparent texels (utils.rs:258-259)
-        valid = valid & (rgba[..., 3] > 0.0)
-        keys = jnp.where(
-            valid, seg_k[None, :, :, None] + jnp.clip(props, 0.0, 0.999999), NO_HIT
-        )  # [H, W, kw, n_sub]
-        keys_flat = keys.reshape(h_n, w_n, -1)
-        neg_top, top_idx = jax.lax.top_k(-keys_flat, k_per_object)
-        sel_keys = -neg_top  # [H, W, Kp] ascending
-        flat_n = keys_flat.shape[-1]
-        normals_flat = normals_loc.reshape(h_n, w_n, flat_n, 3)
-        rgba_flat = rgba.reshape(h_n, w_n, flat_n, 4)
-        sel_norm_loc = jnp.take_along_axis(
-            normals_flat, top_idx[..., None], axis=2
-        )
-        sel_rgba = jnp.take_along_axis(rgba_flat, top_idx[..., None], axis=2)
-        sel_valid = jnp.isfinite(sel_keys)
-        # rotate normals to global cartesian
-        sel_norm = jnp.einsum("hwkc,cd->hwkd", sel_norm_loc, objects.basis[oi])
-
-        # TracePoint fields at the hit (utils.rs:261-273): lat/lon/dist/
-        # path_length lerped along the march; elevation = RAY elevation.
-        safe = jnp.where(sel_valid, sel_keys, 0.0)
-        from .combine import gather_column_field, gather_ray_field
-
-        hb = HitBuffer(
-            valid=sel_valid,
-            key=sel_keys,
-            dlat=gather_column_field(dlat, safe),
-            dlon=gather_column_field(dlon, safe),
-            distance=safe * jnp.float32(step),
-            elevation=gather_ray_field(ray_h, safe),
-            path_length=gather_ray_field(path_len, safe),
-            normal=sel_norm,
-            kind=jnp.ones(sel_keys.shape, jnp.int32),
-            rgba=sel_rgba,
-        )
-        parts.append(hb)
-    # concatenate only — the caller's single merge_hits selects the global
-    # earliest slots (per-object incremental merges cost ~10 gather passes
-    # per object on TPU)
-    return concat_hits(parts)
+    """HitBuffer-API wrapper over ``apply_objects_planes``."""
+    planes = apply_objects_planes(
+        _hb_to_planes(hits), objects, model, lat0, lon0, step,
+        ray_h, path_len, dlat, dlon, col_windows, k_out, k_per_object,
+    )
+    return _planes_to_hb(planes)
 
 
 def object_hits_pixelwise(
@@ -553,10 +833,12 @@ def merge_hits(a: HitBuffer, b: HitBuffer, k_out: int) -> HitBuffer:
         return jnp.sum(cat(xa, xb)[..., None, :] * oh, axis=-1) / matches
 
     def pick_vec(xa, xb):
-        allv = cat(xa, xb, vec=True)  # [..., K_all, D]
-        return (
-            jnp.einsum("...ks,...sd->...kd", oh, allv)
-            / matches[..., None]
+        # per-channel multiply+sum — NEVER an einsum: a batched K_out×K_all
+        # dot_general per pixel pads its tiny contraction onto the 128×128
+        # MXU (~20× padded FLOPs, pathological compile times at 1080p)
+        return jnp.stack(
+            [pick(xa[..., d], xb[..., d]) for d in range(xa.shape[-1])],
+            axis=-1,
         )
 
     return HitBuffer(

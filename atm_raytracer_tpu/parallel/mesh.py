@@ -72,13 +72,16 @@ def render_fast_sharded(
     n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
-    objset = ObjectSet.build(params, terrain) if params.objects else None
+    objset, obj_windows = fast_mod.build_objects_cached(
+        params, terrain, az_padded, n_terr
+    )
 
     col_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
     core = functools.partial(
         fast_mod.fast_core,
+        obj_windows=obj_windows,
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -177,7 +180,9 @@ def render_sweep_sharded(
 
         tables = [
             fast_mod.build_refraction_table(
-                _dc2.replace(params, atmosphere=Atmosphere(a)), float(alts.max())
+                _dc2.replace(params, atmosphere=Atmosphere(a),
+                             atmosphere_def=a),
+                float(alts.max()),
             )
             for a in atmospheres
         ]

@@ -323,6 +323,139 @@ def rk4_window(h, v, plen, step, coarse, table, straight, radius):
     return h_f, plen_f, h1, v1
 
 
+def _path_speed(h, v, radius):
+    """dP/dx — the smooth integrand of the reference's chord-sum path
+    length (utils.rs:42-53): flat √(1+h'²); spherical √(((h+R)/R)² + h'²).
+    The 50 m chord sum and the true arc differ by (h''·dx)²·dx/24 ≈ 1e-10 m
+    per segment, so integrating P with the march's own RK4 stages stays
+    micrometers from the reference semantics over 200 km."""
+    if radius is None:
+        return jnp.sqrt(1.0 + v * v)
+    u = 1.0 + h / radius
+    return jnp.sqrt(u * u + v * v)
+
+
+def _rk4_step_quad(h, v, p, dx, table, radius, straight):
+    """One RK4 step carrying (h, h', path_length) — P via the embedded
+    4th-order quadrature over the same stages (no fine-grid chord sums)."""
+    bend = table is not None and not straight
+    if bend:
+        hq = jnp.stack([h, h + (0.5 * dx) * v, h + dx * v], axis=0)
+        if table.poly is not None:
+            ls = eval_l_poly(table.poly, hq)
+        else:
+            ls = table.lookup(hq)
+        l1, l2, l4 = ls[0], ls[1], ls[2]
+    else:
+        l1 = l2 = l4 = None
+    k1v = _acceleration(h, v, table, radius, straight, l_pre=l1)
+    k1h = v
+    k2h = v + 0.5 * dx * k1v
+    k2v = _acceleration(h + 0.5 * dx * k1h, k2h, table, radius,
+                        straight, l_pre=l2)
+    k3h = v + 0.5 * dx * k2v
+    k3v = _acceleration(h + 0.5 * dx * k2h, k3h, table, radius,
+                        straight, l_pre=l2)
+    k4h = v + dx * k3v
+    k4v = _acceleration(h + dx * k3h, k4h, table, radius, straight,
+                        l_pre=l4)
+    f1 = _path_speed(h, k1h, radius)
+    f2 = _path_speed(h + 0.5 * dx * k1h, k2h, radius)
+    f3 = _path_speed(h + 0.5 * dx * k2h, k3h, radius)
+    f4 = _path_speed(h + dx * k3h, k4h, radius)
+    h_new = h + dx / 6.0 * (k1h + 2.0 * k2h + 2.0 * k3h + k4h)
+    v_new = v + dx / 6.0 * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+    p_new = p + dx / 6.0 * (f1 + 2.0 * f2 + 2.0 * f3 + f4)
+    return h_new, v_new, p_new
+
+
+def hermite_window(h, v, h1, v1, dx_window, coarse):
+    """Fine Hermite samples [B, C+1] of one coarse window from its node
+    states — the same dense output rk4_window produces."""
+    t = (jnp.arange(coarse + 1, dtype=jnp.float32) / jnp.float32(coarse))[None, :]
+    t2 = t * t
+    t3 = t2 * t
+    b00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    b10 = t3 - 2.0 * t2 + t
+    b01 = -2.0 * t3 + 3.0 * t2
+    b11 = t3 - t2
+    return (
+        b00 * h[:, None] + b10 * (v * dx_window)[:, None]
+        + b01 * h1[:, None] + b11 * (v1 * dx_window)[:, None]
+    )
+
+
+def march_scan_light(
+    alt: jnp.ndarray,
+    elev_rad: jnp.ndarray,
+    step: float,
+    n_steps: int,
+    shape: EarthShape,
+    table: Optional[RefractionTable],
+    straight: bool,
+    consumer,
+    init_carry,
+    coarse: int = 1,
+    group: int = 0,
+):
+    """Fused march WITHOUT the fine path-length machinery.
+
+    The fine chord cumsum of ``march_scan`` costs more than the whole rest
+    of the march (measured 0.41 s of 0.68 s at 1080p/200 km); here path
+    length advances by the 4th-order RK4 quadrature of dP/dx instead
+    (``_rk4_step_quad`` — micrometer-equivalent, see ``_path_speed``), and
+    the consumer receives the window-START state so it can re-expand any
+    window exactly later:
+
+        carry = consumer(carry, k0, h_f, alive0, (h0, v0, p0))
+
+    * ``h_f`` — [B, C+1] fine Hermite altitudes at k0..k0+C;
+    * ``alive0`` — [B] bool: ray not dead BEFORE the window start. The
+      per-segment death prefix of ``march_scan`` is a cumsum per window —
+      measured 0.21 s of a 0.67 s scan at 1080p/200 km — and consumers of
+      this light scan re-resolve within-window death exactly when they
+      re-expand the window, so only the window-level flag is kept.
+    * ``(h0, v0, p0)`` — [B] ODE state and path length at the window start.
+
+    Returns the final consumer carry.
+    """
+    elev_rad = jnp.asarray(elev_rad, jnp.float32)
+    alt = jnp.broadcast_to(jnp.asarray(alt, jnp.float32), elev_rad.shape)
+    v0 = initial_slope(alt, elev_rad, shape)
+    radius = shape.radius
+    coarse = max(1, min(int(coarse), n_steps))
+    n_coarse = -(-n_steps // coarse)
+    if group <= 0:
+        group = 8 if jax.default_backend() == "tpu" else 1
+    group = max(1, min(int(group), n_coarse))
+    n_outer = -(-n_coarse // group)
+    dx = jnp.float32(step * coarse)
+
+    def body(carry, i):
+        h, v, p, dead, user = carry
+        for g in range(group):
+            k0 = (i * group + g) * coarse
+            h1, v1, p1 = _rk4_step_quad(h, v, p, dx, table, radius, straight)
+            h_f = hermite_window(h, v, h1, v1, dx, coarse)
+            user = consumer(user, k0, h_f, ~dead, (h, v, p))
+            dead = dead | (
+                jnp.min(h_f[:, :-1], axis=-1) < jnp.float32(DEATH_ALTITUDE)
+            )
+            h, v, p = h1, v1, p1
+        return (h, v, p, dead, user), None
+
+    carry0 = (
+        alt, v0,
+        jnp.zeros(alt.shape, jnp.float32),
+        jnp.zeros(alt.shape, bool),
+        init_carry,
+    )
+    (_, _, _, _, user), _ = jax.lax.scan(
+        body, carry0, jnp.arange(n_outer)
+    )
+    return user
+
+
 def march_scan(
     alt: jnp.ndarray,
     elev_rad: jnp.ndarray,
@@ -335,6 +468,7 @@ def march_scan(
     init_carry,
     coarse: int = 1,
     with_slope: bool = False,
+    group: int = 0,
 ):
     """Fused fixed-step march: stream Hermite fine-grid windows to a consumer.
 
@@ -360,6 +494,13 @@ def march_scan(
     window-start ODE slope as a sixth argument (``consumer(carry, k0, h_f,
     plen_f, alive, v)``) — enough state to re-integrate any window later
     (the culled Rectilinear captures candidate-block states this way).
+
+    ``group`` packs that many coarse windows into ONE scan iteration (the
+    consumer still sees per-window calls): a 500-iteration scan of small
+    fused kernels is dispatch-overhead-bound on TPU, so grouping cuts the
+    sequential launch count ~G× at ~G× trace size. 0 = auto (8 on TPU, 1
+    elsewhere — CPU test runs only pay compile time for it).
+
     Returns the final consumer carry.
     """
     elev_rad = jnp.asarray(elev_rad, jnp.float32)
@@ -368,24 +509,31 @@ def march_scan(
     radius = shape.radius
     coarse = max(1, min(int(coarse), n_steps))
     n_coarse = -(-n_steps // coarse)
+    if group <= 0:
+        group = 8 if jax.default_backend() == "tpu" else 1
+    group = max(1, min(int(group), n_coarse))
+    n_outer = -(-n_coarse // group)
 
     def body(carry, i):
         h, v, plen, dead, user = carry
-        h_f, plen_f, h1, v1 = rk4_window(
-            h, v, plen, step, coarse, table, straight, radius
-        )
-        dead_local = h_f[:, :-1] < jnp.float32(DEATH_ALTITUDE)  # k0..k0+C-1
-        pref = jnp.cumsum(dead_local.astype(jnp.int32), axis=-1)
-        no_prior = jnp.concatenate(
-            [jnp.zeros_like(pref[:, :1]), pref[:, :-1]], axis=-1
-        )
-        alive = (~dead)[:, None] & (no_prior == 0)
-        if with_slope:
-            user = consumer(user, i * coarse, h_f, plen_f, alive, v)
-        else:
-            user = consumer(user, i * coarse, h_f, plen_f, alive)
-        dead = dead | (pref[:, -1] > 0)
-        return (h1, v1, plen_f[:, -1], dead, user), None
+        for g in range(group):
+            k0 = (i * group + g) * coarse
+            h_f, plen_f, h1, v1 = rk4_window(
+                h, v, plen, step, coarse, table, straight, radius
+            )
+            dead_local = h_f[:, :-1] < jnp.float32(DEATH_ALTITUDE)
+            pref = jnp.cumsum(dead_local.astype(jnp.int32), axis=-1)
+            no_prior = jnp.concatenate(
+                [jnp.zeros_like(pref[:, :1]), pref[:, :-1]], axis=-1
+            )
+            alive = (~dead)[:, None] & (no_prior == 0)
+            if with_slope:
+                user = consumer(user, k0, h_f, plen_f, alive, v)
+            else:
+                user = consumer(user, k0, h_f, plen_f, alive)
+            dead = dead | (pref[:, -1] > 0)
+            h, v, plen = h1, v1, plen_f[:, -1]
+        return (h, v, plen, dead, user), None
 
     carry0 = (
         alt, v0,
@@ -394,7 +542,7 @@ def march_scan(
         init_carry,
     )
     (_, _, _, _, user), _ = jax.lax.scan(
-        body, carry0, jnp.arange(n_coarse)
+        body, carry0, jnp.arange(n_outer)
     )
     return user
 

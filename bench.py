@@ -169,16 +169,14 @@ def bench_small_flat(terrain):
 
 
 def bench_objects(terrain):
-    """configs[2]: scene objects + translucent terrain compositing.
-
-    720p/60 km: the remote TPU compile service rejects the object-candidate
-    tensors of the full 1080p/100 km variant (compile-helper OOM); the
-    config still exercises frustum/billboard intersection + K=4 compositing.
-    """
+    """configs[2]: scene objects + translucent terrain compositing at full
+    1080p/100 km scale. Static per-object column windows
+    (ops.objects.object_col_windows) bound the candidate tensors to
+    [H, W_window, seg_window], so the frame compiles and runs at size."""
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.generators import render_fast
 
-    width, height, max_distance, step = 1280, 720, 60_000.0, 50.0
+    width, height, max_distance, step = 1920, 1080, 100_000.0, 50.0
     m_per_deg = 111_194.9
     objects = []
     for i in range(8):
@@ -203,7 +201,7 @@ def bench_objects(terrain):
     params = Config.from_dict(d).into_params(terrain)
     wall = _timed(lambda: render_fast(params, terrain))
     _emit("objects_translucent", wall, width, height, max_distance, step,
-          note="720p objects alpha=0.65 ")
+          note="1080p objects alpha=0.65 ")
 
 
 def bench_8k_metadata(terrain):

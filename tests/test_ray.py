@@ -155,6 +155,38 @@ def test_coarse_march_parity(table):
     np.testing.assert_allclose(np.asarray(p_coarse), np.asarray(p_fine), rtol=1e-6)
 
 
+def test_quadrature_path_length_parity(table):
+    """march_scan_light's RK4-quadrature path length vs the fine chord sum
+    (the reference's calc_dist semantics, utils.rs:42-53): the smooth
+    integrand and the 50 m chord sum agree to ~1e-10 m/segment, so the
+    carried P must track the chord cumsum to well under a millimeter per
+    kilometer over 200 km."""
+    from atm_raytracer_tpu.physics.ray import march_scan_light
+
+    elev = jnp.deg2rad(
+        jnp.asarray([-0.5, -0.1, 0.0, 0.1, 1.0, 5.0, 15.0], jnp.float32)
+    )
+    n = 4000
+    _, p_fine = march_rays(100.0, elev, 50.0, n, SPHERE, table, False, coarse=8)
+
+    def consumer2(carry, k0, h_f, alive, state):
+        return state[2]  # P at window start; final carry = last window's P
+
+    p_last_start = march_scan_light(
+        100.0, elev, 50.0, n, SPHERE, table, False, consumer2,
+        jnp.zeros_like(elev), coarse=8,
+    )
+    # compare against the chord cumsum at the same sample (last window start)
+    n_coarse = -(-n // 8)
+    k_last = (n_coarse - 1) * 8
+    # both sides are f32 accumulations over ~500 windows; their random-walk
+    # rounding (~f32 eps · path ≈ 0.2 m at 200 km) dominates the method
+    # difference, so the band is relative
+    np.testing.assert_allclose(
+        np.asarray(p_last_start), np.asarray(p_fine[:, k_last]), rtol=2e-6
+    )
+
+
 def test_coarse_march_parity_duct(table):
     """Sharp inversion layer (spline atmosphere): coarse dense output still
     tracks the fine integration within the duct's bending scale."""
