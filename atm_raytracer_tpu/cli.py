@@ -93,7 +93,7 @@ def run_gen(args) -> int:
         phase(f"{pct}%...")
 
     if gen == "Fast":
-        result = render_fast(params, terrain)
+        result = render_fast(params, terrain, progress=progress)
     elif gen == "Rectilinear":
         from .generators.rectilinear import render_rectilinear
 
@@ -101,7 +101,7 @@ def run_gen(args) -> int:
     elif gen == "InterpolatingRectilinear":
         from .generators.interpolating import render_interpolating
 
-        result = render_interpolating(params, terrain)
+        result = render_interpolating(params, terrain, progress=progress)
     else:
         raise SystemExit(f"unknown generator {gen!r}")
 

@@ -68,6 +68,45 @@ class RenderResult:
     observer: tuple  # (lat0, lon0, alt_abs)
 
 
+# ---------------------------------------------------------------------------
+# per-percent progress (fast.rs:78-87, rectilinear.rs:40-49,
+# interpolating_rectilinear.rs:141-150): the reference's AtomicUsize pixel
+# counter becomes a host callback fired from inside the device scan. The sink
+# is module-level so the traced jax.debug.callback closure stays a stable
+# hashable (per-render closures would recompile every call).
+# ---------------------------------------------------------------------------
+
+_progress_sink = None
+
+
+def set_progress_sink(sink):
+    """Install the host progress reporter; returns the previous sink."""
+    global _progress_sink
+    prev = _progress_sink
+    _progress_sink = sink
+    return prev
+
+
+def _emit_progress(frac) -> None:
+    sink = _progress_sink
+    if sink is not None:
+        sink(int(round(float(frac) * 100.0)))
+
+
+def scan_progress_emit(i, n: int, stride: int) -> None:
+    """Emit (i+1)/n as a percent line from inside a traced scan body.
+
+    Emits every ``stride`` iterations AND at the final iteration (so 100%
+    always fires even when n-1 is not a stride multiple).
+    """
+    frac = (i.astype(jnp.float32) + 1.0) / jnp.float32(n)
+    jax.lax.cond(
+        (i % stride == 0) | (i == n - 1),
+        lambda: jax.debug.callback(_emit_progress, frac, ordered=False),
+        lambda: None,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def callbacks_supported() -> bool:
     """Whether jax.debug.callback works on the active backend.

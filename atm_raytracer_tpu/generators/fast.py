@@ -141,6 +141,7 @@ def separable_hits(
     lon0: float,
     terrain_alpha: float,
     obj_windows=None,  # static per-object (col_lo, n) tuples; None = full W
+    with_progress: bool = False,
 ) -> HitBuffer:
     """Hits on the separable (elevation-row × azimuth-column) product grid.
 
@@ -158,6 +159,7 @@ def separable_hits(
             model=model, shape=shape, straight=straight, step=step,
             n_terr=n_terr, max_hits=max_hits, lat0=lat0, lon0=lon0,
             terrain_alpha=terrain_alpha, obj_windows=obj_windows,
+            with_progress=with_progress,
         )
     # 1. path cache: [H, n_terr] ray altitudes at x = k*step (march n_terr-1
     # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174.
@@ -168,7 +170,7 @@ def separable_hits(
     )
     ray_h, path_len = march_rays(
         alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
-        shape, table, straight, coarse=coarse,
+        shape, table, straight, coarse=coarse, progress=with_progress,
     )
 
     # 2. terrain cache: geodesic per column × march step — utils.rs:176-199.
@@ -267,6 +269,7 @@ def _separable_hit_planes(
     lon0: float,
     terrain_alpha: float,
     obj_windows,
+    with_progress: bool = False,
 ) -> HitBuffer:
     """Plane-first separable hits for scene-object frames.
 
@@ -285,7 +288,7 @@ def _separable_hit_planes(
     )
     ray_h, path_len = march_rays(
         alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
-        shape, table, straight, coarse=coarse,
+        shape, table, straight, coarse=coarse, progress=with_progress,
     )
     dists = jnp.arange(n_terr, dtype=jnp.float32) * jnp.float32(step)
     dlat, dlon = model.geodesic_delta(
@@ -394,6 +397,7 @@ def fast_core(
     fog_distance: Optional[float],
     terrain_alpha: float,
     obj_windows=None,
+    with_progress: bool = False,
 ):
     """The whole Fast pipeline as one traceable function (vmappable for
     batched sweeps, shardable for multi-chip)."""
@@ -401,7 +405,7 @@ def fast_core(
         pack, table, objects, elev_deg, az_deg, alt0,
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
         max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
-        obj_windows=obj_windows,
+        obj_windows=obj_windows, with_progress=with_progress,
     )
     image = composite(
         coloring,
@@ -424,13 +428,21 @@ _render_fast_device = functools.partial(
     static_argnames=(
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
         "lon0", "coloring", "fog_distance", "terrain_alpha", "obj_windows",
+        "with_progress",
     ),
 )(fast_core)
 
 
 def render_fast(params: Params, terrain: Terrain,
-                max_hits: Optional[int] = None) -> RenderResult:
-    """Full Fast-generator render from lowered Params (fast.rs:22-98)."""
+                max_hits: Optional[int] = None,
+                progress=None) -> RenderResult:
+    """Full Fast-generator render from lowered Params (fast.rs:22-98).
+
+    ``progress`` (if given) receives whole-percent completion values — the
+    TPU analog of the reference's per-percent pixel counter (fast.rs:78-87),
+    emitted from the march scan on callback-capable backends and always
+    closed with a final 100.
+    """
     out = params.output
     frame = params.view.frame
     pos = params.view.position
@@ -448,30 +460,41 @@ def render_fast(params: Params, terrain: Terrain,
 
     objset, obj_windows = build_objects_cached(params, terrain, az_deg, n_terr)
 
-    image, hits = _render_fast_device(
-        pack,
-        table,
-        objset,
-        jnp.asarray(elev_deg, jnp.float32),
-        jnp.asarray(az_deg, jnp.float32),
-        float(alt0),
-        model=params.model,
-        shape=params.model.to_shape(),
-        straight=params.straight_rays,
-        step=float(params.simulation_step),
-        n_terr=n_terr,
-        max_hits=int(max_hits),
-        lat0=float(pos.latitude),
-        lon0=float(pos.longitude),
-        coloring=params.coloring,
-        fog_distance=params.view.fog_distance,
-        terrain_alpha=float(params.terrain_alpha),
-        obj_windows=obj_windows,
-    )
-    return RenderResult(
+    from .base import callbacks_supported, set_progress_sink
+
+    with_progress = progress is not None and callbacks_supported()
+    set_progress_sink(progress)
+    try:
+        image, hits = _render_fast_device(
+            pack,
+            table,
+            objset,
+            jnp.asarray(elev_deg, jnp.float32),
+            jnp.asarray(az_deg, jnp.float32),
+            float(alt0),
+            model=params.model,
+            shape=params.model.to_shape(),
+            straight=params.straight_rays,
+            step=float(params.simulation_step),
+            n_terr=n_terr,
+            max_hits=int(max_hits),
+            lat0=float(pos.latitude),
+            lon0=float(pos.longitude),
+            coloring=params.coloring,
+            fog_distance=params.view.fog_distance,
+            terrain_alpha=float(params.terrain_alpha),
+            obj_windows=obj_windows,
+            with_progress=with_progress,
+        )
         # fetch FLAT: a [H, W, 3] u8 fetch pays a device-side de-tiling pass
         # (the minor dim of 3 tiles badly); flat streams at link speed
-        image=np.asarray(image.reshape(-1)).reshape(image.shape),
+        image_host = np.asarray(image.reshape(-1)).reshape(image.shape)
+    finally:
+        set_progress_sink(None)
+    if progress is not None:
+        progress(100)  # close the counter (straight-ray path has no scan)
+    return RenderResult(
+        image=image_host,
         # hits stay on device: fetching ~14 fields × H×W×K is pure transfer
         # cost unless metadata is requested (save_metadata np.asarrays them)
         hits=hits,

@@ -83,9 +83,13 @@ def gen_fov_data(width, height, fov, tilt, direction):
 def _interp_weights(present: jnp.ndarray, rem_e: jnp.ndarray, rem_d: jnp.ndarray):
     """Per-pixel corner weights for the 16-case presence match.
 
-    present: [..., 4] bool in SEQUENCE order (e00, e01, e10, e11);
-    rem_e/rem_d: [...] fractional positions. Returns (ok [...], w [..., 4])
+    present: [4, ...] bool in SEQUENCE order (e00, e01, e10, e11);
+    rem_e/rem_d: [...] fractional positions. Returns (ok [...], w [4, ...])
     with w summing to 1 where ok.
+
+    The corner axis LEADS (not trails): on TPU a trailing length-4 axis
+    becomes the 128-wide lane dimension and wastes ~30× of every vector
+    register, so all per-corner planes keep [H, W] minor.
     """
     re, rd = rem_e, rem_d
     one = jnp.ones_like(re)
@@ -94,7 +98,7 @@ def _interp_weights(present: jnp.ndarray, rem_e: jnp.ndarray, rem_d: jnp.ndarray
 
     def w4(w00=None, w01=None, w10=None, w11=None):
         return jnp.stack(
-            [zero if w is None else w for w in (w00, w01, w10, w11)], axis=-1
+            [zero if w is None else w for w in (w00, w01, w10, w11)], axis=0
         )
 
     def two_adjacent(ia, ib, r_elev, r_dir):
@@ -146,13 +150,13 @@ def _interp_weights(present: jnp.ndarray, rem_e: jnp.ndarray, rem_d: jnp.ndarray
     ]
 
     p = present.astype(jnp.int32)
-    idx = p[..., 0] + 2 * p[..., 1] + 4 * p[..., 2] + 8 * p[..., 3]
+    idx = p[0] + 2 * p[1] + 4 * p[2] + 8 * p[3]
     ok = jnp.zeros_like(re, bool)
     w = w4()
     for code, (c_ok, c_w) in enumerate(cases):
         m = idx == code
         ok = jnp.where(m, c_ok, ok)
-        w = jnp.where(m[..., None], c_w, w)
+        w = jnp.where(m[None], c_w, w)
     return ok, w
 
 
@@ -180,43 +184,63 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
     h_n, w_n = gi.shape
     e_n = 4 * kg  # entries per pixel, corner-major (SEQUENCE), slot ascending
 
-    def flat(x):
-        return x.reshape((hp * wp,) + x.shape[2:])
+    # -- corner fetch: TWO packed row gathers, not 4 corners × 9 fields ------
+    # TPU gather cost is per LAUNCH, not per byte (36 separate jnp.takes
+    # measured ~650 ms at 1080p; the packed pair rows ~25 ms). Every channel
+    # of every slot of a grid cell is packed into one contiguous row, rows of
+    # horizontally-ADJACENT cells are concatenated (the 4 corners are two
+    # adjacent pairs), and one gather per corner row delivers everything.
+    _CH = ("valid", "dlat", "dlon", "distance", "elevation", "path_length",
+           "nx", "ny", "nz", "kind", "cr", "cg", "cb", "ca")
+    n_ch = len(_CH)
+    comp = [
+        grid.valid.astype(jnp.float32), grid.dlat, grid.dlon, grid.distance,
+        grid.elevation, grid.path_length,
+        grid.normal[..., 0], grid.normal[..., 1], grid.normal[..., 2],
+        grid.kind.astype(jnp.float32),
+        grid.rgba[..., 0], grid.rgba[..., 1], grid.rgba[..., 2],
+        grid.rgba[..., 3],
+    ]
+    packed = jnp.stack(comp, axis=-1).reshape(hp, wp, kg * n_ch)
+    pair = jnp.concatenate([packed[:, :-1], packed[:, 1:]], axis=-1).reshape(
+        hp * (wp - 1), 2 * kg * n_ch
+    )
+    col = jnp.clip(gj, 0, wp - 2)
+    idx_t = jnp.clip(gi, 0, hp - 1) * (wp - 1) + col
+    idx_b = jnp.clip(gi + 1, 0, hp - 1) * (wp - 1) + col
+    # channel-leading behind a barrier: the raw gather output [H, W, C] has
+    # the tiny channel axis minor; per-channel plane slices of that layout
+    # pad ~30× (see fast._separable_hit_planes for the measured failure)
+    top = jax.lax.optimization_barrier(
+        jnp.moveaxis(jnp.take(pair, idx_t, axis=0), -1, 0)
+    )  # [2·kg·n_ch, H, W] — corners (0,0) then (0,1)
+    bot = jax.lax.optimization_barrier(
+        jnp.moveaxis(jnp.take(pair, idx_b, axis=0), -1, 0)
+    )  # corners (1,0) then (1,1)
 
-    def gather_corner(x, ci, cj):
-        idx = jnp.clip(ci, 0, hp - 1) * wp + jnp.clip(cj, 0, wp - 1)
-        return jnp.take(flat(x), idx, axis=0)
+    # entries as [E, H, W] per channel, corner-major (SEQUENCE), slot
+    # ascending — the entry axis LEADS so every op below tiles on [H, W]
+    def entry_planes(name):
+        f = _CH.index(name)
+        planes = []
+        for src, half in ((top, 0), (top, 1), (bot, 0), (bot, 1)):
+            for s in range(kg):
+                planes.append(src[half * kg * n_ch + s * n_ch + f])
+        return jnp.stack(planes, axis=0)
 
-    fields = {
-        "valid": grid.valid,
-        "dlat": grid.dlat,
-        "dlon": grid.dlon,
-        "distance": grid.distance,
-        "elevation": grid.elevation,
-        "path_length": grid.path_length,
-        "normal": grid.normal,
-        "kind": grid.kind,
-        "rgba": grid.rgba,
-    }
-    # entries [H, W, E, ...]
-    ent = {}
-    for name, arr in fields.items():
-        parts = []
-        for (di, dj) in SEQUENCE:
-            parts.append(gather_corner(arr, gi + di, gj + dj))
-        ent[name] = jnp.concatenate(parts, axis=2)
+    ent = {name: entry_planes(name) for name in _CH if name != "valid"}
     in_grid = (
         (gi >= 0) & (gi + 1 < hp) & (gj >= 0) & (gj + 1 < wp)
     )
-    ent_valid = ent.pop("valid") & in_grid[..., None]
+    ent_valid = (entry_planes("valid") > 0.5) & in_grid[None]
 
     # -- grouping: exact collect_trace_points (:213-243) ---------------------
     # Pairwise same-kind closeness in corner-major entry order; entry i
     # joins min gid over matching earlier entries, else opens a new group.
     dist_key = jnp.where(ent_valid, ent["distance"], jnp.inf)
-    d_list = [dist_key[..., i] for i in range(e_n)]
-    k_list = [ent["kind"][..., i] for i in range(e_n)]
-    v_list = [ent_valid[..., i] for i in range(e_n)]
+    d_list = [dist_key[i] for i in range(e_n)]
+    k_list = [ent["kind"][i] for i in range(e_n)]
+    v_list = [ent_valid[i] for i in range(e_n)]
     big_gid = jnp.float32(e_n + 1)  # > any real gid; min-identity
     gid_l, head_l = [], []
     next_gid = jnp.zeros((h_n, w_n), jnp.float32)
@@ -253,39 +277,38 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
             )
             r = r + ahead.astype(jnp.float32)
         rank_l.append(r)
-    gid = jnp.stack(rank_l, axis=-1).astype(jnp.int32)  # [H, W, E] slot rank
+    gid = jnp.stack(rank_l, axis=0).astype(jnp.int32)  # [E, H, W] slot rank
 
     # -- per output slot g (nearest k_out groups): last-entry-per-corner
     #    selection (match_sequence :245-265) + weight-space interpolation ----
     slot_valid, slot_fields = [], []
     for g in range(k_out):
-        member = ent_valid & (gid == g)  # [H, W, E]
-        m4 = member.reshape(h_n, w_n, 4, kg)
-        present = m4.any(-1)  # [H, W, 4]
+        member = ent_valid & (gid == g)  # [E, H, W]
+        m4 = member.reshape(4, kg, h_n, w_n)
+        present = m4.any(1)  # [4, H, W]
         # one-hot of the LAST member per corner ("later entries overwrite")
-        suffix = jnp.flip(jnp.cumsum(jnp.flip(m4, -1), axis=-1), -1)
-        onehot = (m4 & (suffix == 1)).astype(jnp.float32)  # [H, W, 4, kg]
+        suffix = jnp.flip(jnp.cumsum(jnp.flip(m4, 1), axis=1), 1)
+        onehot = (m4 & (suffix == 1)).astype(jnp.float32)  # [4, kg, H, W]
 
         def corner_val(x):
             if x.ndim == 3:
-                return (x.reshape(h_n, w_n, 4, kg) * onehot).sum(-1)
+                return (x.reshape(4, kg, h_n, w_n) * onehot).sum(1)
             d = x.shape[-1]
             return (
-                x.reshape(h_n, w_n, 4, kg, d) * onehot[..., None]
-            ).sum(-2)  # [H, W, 4, D]
+                x.reshape(4, kg, h_n, w_n, d) * onehot[..., None]
+            ).sum(1)  # [4, H, W, D]
 
         ok, w = _interp_weights(present, rem_e, rem_d)
-        valid_g = present.any(-1) & ok
+        valid_g = present.any(0) & ok
 
         out = {}
-        for name in ("dlat", "dlon", "distance", "elevation", "path_length"):
-            out[name] = (corner_val(ent[name]) * w).sum(-1)
-        out["normal"] = (corner_val(ent["normal"]) * w[..., None]).sum(-2)
-        out["rgba"] = (corner_val(ent["rgba"]) * w[..., None]).sum(-2)
+        for name in ("dlat", "dlon", "distance", "elevation", "path_length",
+                     "nx", "ny", "nz", "cr", "cg", "cb", "ca"):
+            out[name] = (corner_val(ent[name]) * w).sum(0)
         # kinds are equal across the group — take any present corner's
-        kind4 = corner_val(ent["kind"].astype(jnp.float32))
+        kind4 = corner_val(ent["kind"])
         out["kind"] = jnp.max(
-            jnp.where(present, kind4, 0.0), axis=-1
+            jnp.where(present, kind4, 0.0), axis=0
         ).astype(jnp.int32)
         slot_valid.append(valid_g)
         slot_fields.append(out)
@@ -304,9 +327,9 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
         distance=tp["distance"],
         elevation=tp["elevation"],
         path_length=tp["path_length"],
-        normal=tp["normal"],
+        normal=jnp.stack([tp["nx"], tp["ny"], tp["nz"]], axis=-1),
         kind=tp["kind"],
-        rgba=tp["rgba"],
+        rgba=jnp.stack([tp["cr"], tp["cg"], tp["cb"], tp["ca"]], axis=-1),
     )
 
 
@@ -315,6 +338,7 @@ def interpolating_core(
     cam, min_es, min_ds, i_min, j_min,
     model, shape, straight, step, n_terr, max_hits, lat0, lon0,
     coloring, fog_distance, terrain_alpha, obj_windows=None,
+    with_progress=False,
 ):
     # per-pixel grid coordinates are derived ON device from the (static)
     # camera parameters — uploading four [H, W] arrays through the host link
@@ -336,7 +360,7 @@ def interpolating_core(
         pack, table, objects, grid_elev_deg, grid_az_deg, alt0,
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
         max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
-        obj_windows=obj_windows,
+        obj_windows=obj_windows, with_progress=with_progress,
     )
     hits = _interpolate_pixels(grid, gi, gj, rem_e, rem_d, step, 2 * grid.k_slots)
     image = composite(
@@ -353,28 +377,26 @@ _interp_device = functools.partial(
         "cam", "min_es", "min_ds", "i_min", "j_min",
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
         "lon0", "coloring", "fog_distance", "terrain_alpha", "obj_windows",
+        "with_progress",
     ),
 )(interpolating_core)
 
 
-def render_interpolating(
-    params: Params, terrain: Terrain, max_hits: Optional[int] = None
-) -> RenderResult:
-    """Full InterpolatingRectilinear render (:110-161)."""
-    out = params.output
-    frame = params.view.frame
-    pos = params.view.position
-    alt0 = pos.abs_altitude(terrain)
+@functools.lru_cache(maxsize=8)
+def _camera_grids(width, height, fov, tilt, direction):
+    """Camera-only host geometry: snapped-grid extents + output angles.
 
-    elev, dirr, min_es, min_ds = gen_fov_data(
-        out.width, out.height, frame.fov, frame.tilt, frame.direction
-    )
+    ~0.45 s of f64 numpy at 1080p (gen_fov_data + the 4-corner bilinear of
+    ResultPixel angles, :408-415) that depends on nothing but the camera —
+    cached so repeated renders pay it once.
+    """
+    elev, dirr, min_es, min_ds = gen_fov_data(width, height, fov, tilt, direction)
     ei_f = elev / min_es
     dj_f = dirr / min_ds
     gi_abs = np.floor(ei_f).astype(np.int64)
     gj_abs = np.floor(dj_f).astype(np.int64)
-    rem_e = (ei_f - gi_abs).astype(np.float32)
-    rem_d = (dj_f - gj_abs).astype(np.float32)
+    rem_e = ei_f - gi_abs
+    rem_d = dj_f - gj_abs
     # widen the grid one cell each way: the device recomputes the pixel
     # angles in f32 (interpolating_core), and a boundary pixel's floor may
     # land one cell past the host-f64 extremes
@@ -382,6 +404,45 @@ def render_interpolating(
     j_min, j_max = int(gj_abs.min()) - 1, int(gj_abs.max()) + 2
     grid_elev_deg = np.rad2deg(np.arange(i_min, i_max + 1) * min_es)
     grid_az_deg = np.rad2deg(np.arange(j_min, j_max + 1) * min_ds)
+
+    # ResultPixel angles: bilinear of the 4 corner grid angles (:408-415)
+    corner_e = (gi_abs[..., None] + np.array([0, 0, 1, 1])) * min_es
+    corner_d = (gj_abs[..., None] + np.array([0, 1, 0, 1])) * min_ds
+    wts = np.stack(
+        [
+            (1 - rem_e) * (1 - rem_d),
+            (1 - rem_e) * rem_d,
+            rem_e * (1 - rem_d),
+            rem_e * rem_d,
+        ],
+        axis=-1,
+    )
+    elev_out = np.rad2deg((corner_e * wts).sum(-1))
+    az_out = camera.wrap_azimuth_deg(np.rad2deg((corner_d * wts).sum(-1)))
+    return min_es, min_ds, i_min, j_min, grid_elev_deg, grid_az_deg, elev_out, az_out
+
+
+def render_interpolating(
+    params: Params, terrain: Terrain, max_hits: Optional[int] = None,
+    progress=None,
+) -> RenderResult:
+    """Full InterpolatingRectilinear render (:110-161).
+
+    ``progress`` (if given) receives whole-percent completion values — the
+    TPU analog of the reference's per-percent pixel counter
+    (interpolating_rectilinear.rs:141-150), emitted from the grid march scan
+    on callback-capable backends and always closed with a final 100.
+    """
+    out = params.output
+    frame = params.view.frame
+    pos = params.view.position
+    alt0 = pos.abs_altitude(terrain)
+
+    (min_es, min_ds, i_min, j_min, grid_elev_deg, grid_az_deg,
+     elev_out, az_out) = _camera_grids(
+        out.width, out.height, float(frame.fov), float(frame.tilt),
+        float(frame.direction),
+    )
 
     lat_rng, lon_rng = terrain_bbox(params)
     pack = terrain.pack(lat_rng, lon_rng)
@@ -395,6 +456,10 @@ def render_interpolating(
         params, terrain, grid_az_deg, n_terr
     )
 
+    from .base import callbacks_supported, set_progress_sink
+
+    with_progress = progress is not None and callbacks_supported()
+    set_progress_sink(progress)
     image, hits = _interp_device(
         pack, table, objset,
         jnp.asarray(grid_elev_deg, jnp.float32),
@@ -418,28 +483,20 @@ def render_interpolating(
         fog_distance=params.view.fog_distance,
         terrain_alpha=float(params.terrain_alpha),
         obj_windows=obj_windows,
+        with_progress=with_progress,
     )
 
-    # ResultPixel angles: bilinear of the 4 corner grid angles (:408-415)
-    corner_e = (gi_abs[..., None] + np.array([0, 0, 1, 1])) * min_es
-    corner_d = (gj_abs[..., None] + np.array([0, 1, 0, 1])) * min_ds
-    wts = np.stack(
-        [
-            (1 - rem_e) * (1 - rem_d),
-            (1 - rem_e) * rem_d,
-            rem_e * (1 - rem_d),
-            rem_e * rem_d,
-        ],
-        axis=-1,
-    )
-    elev_out = np.rad2deg((corner_e * wts).sum(-1))
-    az_out = np.rad2deg((corner_d * wts).sum(-1))
-    az_out = camera.wrap_azimuth_deg(az_out)
-
-    return RenderResult(
+    try:
         # flat fetch: [H, W, 3] u8 de-tiles on device otherwise (the core
         # returns the frame pre-flattened)
-        image=np.asarray(image).reshape(out.height, out.width, 3),
+        image_host = np.asarray(image).reshape(out.height, out.width, 3)
+    finally:
+        set_progress_sink(None)
+    if progress is not None:
+        progress(100)  # close the counter (straight-ray path has no scan)
+
+    return RenderResult(
+        image=image_host,
         hits=hits,  # device-resident; see generators.fast note
         elevation_deg=elev_out,
         azimuth_deg=az_out,

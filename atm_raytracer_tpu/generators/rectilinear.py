@@ -494,15 +494,9 @@ _shared_column_device = functools.partial(
 )(shared_column_core)
 
 
-# progress sink for jax.debug.callback — module-level so the traced callback
-# is a stable hashable; the actual reporter is installed per render call.
-_progress_sink: Optional[Callable[[int], None]] = None
-
-
-def _emit_progress(frac) -> None:
-    sink = _progress_sink
-    if sink is not None:
-        sink(int(round(float(frac) * 100.0)))
+# progress sink: shared with the Fast/Interpolating generators (base.py);
+# the reporter is installed per render call via set_progress_sink.
+from .base import _emit_progress, set_progress_sink  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -979,8 +973,7 @@ def render_rectilinear(
         az_dev = jnp.asarray(az_col, jnp.float32)
 
         with_progress = progress is not None and callbacks_supported()
-        global _progress_sink
-        _progress_sink = progress
+        set_progress_sink(progress)
         try:
             if objset is None:
                 image_flat, hits = _fused_shared_device(
@@ -1022,7 +1015,7 @@ def render_rectilinear(
                     hits,
                 )
         finally:
-            _progress_sink = None
+            set_progress_sink(None)
         if progress is not None and not with_progress:
             progress(100)  # backend rejects host callbacks; report completion
     elif (objset is None and max_hits == 1

@@ -55,6 +55,16 @@ def _savez(fh, config, result, hits):
 
 
 def load_metadata(path) -> Tuple[Config, RenderResult]:
+    """Load a metadata artifact: native npz OR a reference bincode ``.dat``.
+
+    The format is sniffed from the magic bytes — gzip (``\\x1f\\x8b``) means
+    a Rust-produced gzip(bincode(AllData)) artifact (generator/mod.rs:26-45)
+    and routes through :mod:`.bincode`; anything else is our npz.
+    """
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        return _load_bincode(path)
     with np.load(path, allow_pickle=False) as z:
         version = int(z["format_version"])
         if version > FORMAT_VERSION:
@@ -79,4 +89,107 @@ def load_metadata(path) -> Tuple[Config, RenderResult]:
             azimuth_deg=z["azimuth_deg"],
             observer=tuple(z["observer"]),
         )
+    return config, result
+
+
+def _invert_light_dir(light, model, position: dict, direction_deg: float):
+    """World light vector → (zenith_angle°, light_dir°) such that
+    ConfColoring.into_coloring reproduces the vector exactly.
+
+    The lowering (params.rs:240-258) is light = −front·sinZ·cosL +
+    right·sinZ·sinL + up·cosZ in the observer's view basis, which inverts as
+    Z = acos(light·up), L = atan2(light·right, −light·front).
+    """
+    import math as _math
+
+    north, east, up = model.world_directions(
+        position["latitude"], position["longitude"]
+    )
+    az = _math.radians(direction_deg)
+    front = north * _math.cos(az) + east * _math.sin(az)
+    right = east * _math.cos(az) - north * _math.sin(az)
+    light = np.asarray(light, np.float64)
+    light = light / np.linalg.norm(light)  # lowered vectors are unit (params.rs:257)
+    zen = _math.degrees(_math.acos(float(np.clip(np.dot(light, up), -1, 1))))
+    ldir = _math.degrees(
+        _math.atan2(float(np.dot(light, right)), float(-np.dot(light, front)))
+    )
+    return zen, ldir
+
+
+def _load_bincode(path) -> Tuple[Config, RenderResult]:
+    """Reference-artifact load path (see meta/bincode.py for the layout)."""
+    from ..models.earth import EarthModel
+    from .bincode import decode_alldata
+
+    with open(path, "rb") as fh:
+        params, elev, az, hits = decode_alldata(fh.read())
+
+    view = params["view"]
+    coloring = view["coloring"]
+    if "Shading" in coloring:
+        s = coloring["Shading"]
+        model = EarthModel.from_config(params["model"])
+        zen, ldir = _invert_light_dir(
+            s["light_dir_world"], model, view["position"],
+            view["frame"]["direction"],
+        )
+        conf_coloring = {"Shading": {
+            "water_level": s["water_level"],
+            "ambient_light": s["ambient_light"],
+            "light_zenith_angle": zen,
+            "light_dir": ldir,
+            "palette": s["palette"],
+        }}
+    else:
+        conf_coloring = {"Simple": {
+            "water_level": coloring["Simple"]["water_level"],
+        }}
+
+    objects = []
+    for ob in params["scene"]["objects"]:
+        objects.append({
+            "position": {
+                "latitude": ob["position"]["lat"],
+                "longitude": ob["position"]["lon"],
+                "altitude": {"Absolute": ob["position"]["elev"]},
+            },
+            "shape": ob["shape"],
+            "color": ob["color"],
+        })
+
+    d = {
+        "scene": {
+            "terrain_folder": params["scene"]["terrain_folder"],
+            "objects": objects,
+            "terrain_alpha": params["scene"]["terrain_alpha"],
+        },
+        "view": {
+            "position": view["position"],
+            "frame": view["frame"],
+            "coloring": conf_coloring,
+        },
+        # the atm-refraction Environment bytes are opaque (out-of-tree crate;
+        # meta/bincode.py) — the viewer does not re-trace rays, so the
+        # default US-76 stands in for display purposes only
+        "earth_shape": params["model"],
+        "straight_rays": params["straight_rays"],
+        "simulation_step": params["simulation_step"],
+        "output": params["output"],
+    }
+    if view.get("fog_distance") is not None:
+        d["view"]["fog_distance"] = view["fog_distance"]
+    config = Config.from_dict(d)
+
+    pos = view["position"]
+    ((alt_kind, alt_value),) = pos["altitude"].items()
+    result = RenderResult(
+        image=None,
+        hits=hits,
+        elevation_deg=elev,
+        azimuth_deg=az,
+        # Relative altitude needs terrain the artifact does not carry; the
+        # reference viewer has the same limitation (unwrap_or(0.0))
+        observer=(pos["latitude"], pos["longitude"], float(alt_value)),
+    )
     return config, result

@@ -23,9 +23,10 @@ TPU-first redesign notes (vs the reference's trait objects + f64):
   observer** (``geodesic_delta`` returns (dlat, dlon) in degrees), computed
   with cancellation-free forms (2·sin²(σ/2) instead of 1−cos σ, cross-product
   longitude differences, …): delta precision is ~1e-7 relative, i.e. ~cm over
-  200 km. Exception: the ellipsoid (Vincenty) device path computes absolute
-  minus start and inherits the ~0.5 m quantization (documented; the host f64
-  path is exact and used for object placement and diagnostics).
+  200 km. This includes the ellipsoid: ``_vincenty_delta_device`` is a
+  cancellation-free (dlat, dlon) decomposition of Vincenty direct, ≤6 cm vs
+  the host f64 path over 200 km (tests/test_earth.py). The host f64 path
+  remains the oracle and is used for object placement and diagnostics.
 * Object-local positions use ``enu_rel`` — the exact difference
   ``as_cartesian(P) − as_cartesian(O)`` expressed in O's (east, north, up)
   basis via small-quantity identities, so f32 keeps mm precision for points
@@ -233,9 +234,10 @@ class EarthModel:
     def geodesic_delta(self, lat0: float, lon0: float, az_deg, dist):
         """Device geodesic: (dlat, dlon) degrees from the observer, float32.
 
-        az_deg / dist broadcast together. Spherical / AE / FlatDistorted use
-        cancellation-free delta forms (~cm precision over 200 km in f32).
-        Ellipsoid uses Vincenty minus start (~0.5 m quantization, documented).
+        az_deg / dist broadcast together. All four calculators — Spherical,
+        AE, FlatDistorted and Ellipsoid (``_vincenty_delta_device``) — use
+        cancellation-free delta forms: ≤6 cm over 200 km in f32
+        (tests/test_earth.py::test_geodesic_delta_device_precision).
         """
         m = self._canonical()
         az = jnp.deg2rad(jnp.asarray(az_deg, jnp.float32))

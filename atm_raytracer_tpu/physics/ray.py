@@ -685,8 +685,13 @@ def march_rays(
     straight: bool,
     with_path_length: bool = True,
     coarse: int = 1,
+    progress: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """March a batch of rays N fixed steps; returns (h, path_length).
+
+    ``progress=True`` emits per-percent lines from the scan body via
+    ``generators.base.scan_progress_emit`` (callback-capable backends only —
+    callers gate on ``callbacks_supported()``).
 
     Args:
       alt: scalar or [B] starting altitude(s), meters.
@@ -744,9 +749,15 @@ def march_rays(
             alt, v0, float(step) * coarse, n_coarse, table.poly, radius
         )
     else:
-        def body(carry, _):
+        stride = max(1, n_coarse // 32)
+
+        def body(carry, i):
             h, v = carry
             h_new, v_new = _rk4_step(h, v, dx, table, radius, straight)
+            if progress:
+                from ..generators.base import scan_progress_emit
+
+                scan_progress_emit(i, n_coarse, stride)
             return (h_new, v_new), (h_new, v_new)
 
         # unroll on TPU: the per-iteration state is a few [B] vectors, so
@@ -754,7 +765,8 @@ def march_rays(
         # measured). On CPU (tests) the unroll only bloats compile time.
         unroll = min(8, n_coarse) if jax.default_backend() == "tpu" else 1
         (_, _), (hs, vs) = jax.lax.scan(
-            body, (alt, v0), None, length=n_coarse, unroll=unroll
+            body, (alt, v0), jnp.arange(n_coarse, dtype=jnp.int32),
+            unroll=unroll,
         )
         h_nodes = jnp.concatenate([alt[None], hs], axis=0)  # [Nc+1, B]
         v_nodes = jnp.concatenate([v0[None], vs], axis=0)

@@ -1,0 +1,205 @@
+"""Reference-metadata bincode interop (src/generator/mod.rs:26-45).
+
+No Rust toolchain exists in this environment, so the layout (transcribed
+from the in-tree type definitions — see meta/bincode.py) is validated by
+round-trip through our own encoder, including the two defensively-handled
+unknowns: the opaque atm-refraction Environment bytes (skipped by
+anchor-scan) and both nalgebra Vector3 serde layouts.
+"""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from atm_raytracer_tpu.meta import bincode as B
+
+
+def _sample_params(env_raw: bytes):
+    return {
+        "scene": {
+            "terrain_folder": "./terrain",
+            "objects": [
+                {
+                    "position": {"lat": 49.55, "lon": 21.62, "elev": 401.5},
+                    "shape": {"Frustum": {"r1": 20.0, "r2": 5.0, "height": 120.0}},
+                    "color": {"r": 0.9, "g": 0.2, "b": 0.1, "a": 0.75},
+                },
+                {
+                    "position": {"lat": 49.52, "lon": 21.58, "elev": 380.0},
+                    "shape": {"Billboard": {
+                        "width": 30.0, "height": 20.0,
+                        "texture_path": "tex/tree.png",
+                    }},
+                    "color": {"r": 1.0, "g": 1.0, "b": 1.0, "a": 1.0},
+                },
+            ],
+            "terrain_alpha": 0.8,
+        },
+        "view": {
+            "position": {
+                "latitude": 49.5, "longitude": 21.5,
+                "altitude": {"Relative": 100.0},
+            },
+            "frame": {"direction": 45.0, "tilt": 0.5, "fov": 30.0,
+                      "max_distance": 150_000.0},
+            "coloring": {"Shading": {
+                "water_level": 0.0, "ambient_light": 0.4,
+                "light_dir_world": [0.1, -0.2, 0.97],
+                "palette": "Improved",
+            }},
+            "fog_distance": 80_000.0,
+        },
+        "model": {"Spherical": {"radius": 6_371_000.0}},
+        "env_raw": env_raw,
+        "straight_rays": False,
+        "simulation_step": 50.0,
+        "output": {
+            "file": "./output.png",
+            "file_metadata": "./output.dat",
+            "width": 5,
+            "height": 4,
+            "ticks": [
+                {"Single": {"azimuth": 45.0, "size": 10, "labelled": True}},
+                {"Multiple": {"bias": 0.0, "step": 5.0, "size": 6,
+                              "labelled": False}},
+            ],
+            "vertical_ticks": [
+                {"Multiple": {"bias": 0.0, "step": 1.0, "size": 5,
+                              "labelled": True}},
+            ],
+            "show_eye_level": True,
+            "show_flat_horizon": False,
+            "generator": "Rectilinear",
+        },
+    }
+
+
+def _sample_result(h=4, w=5, k=2):
+    rng = np.random.RandomState(7)
+
+    class Hits:
+        valid = rng.rand(h, w, k) < 0.6
+        key = np.where(valid, 1.0, np.inf).astype(np.float32)
+        dlat = rng.randn(h, w, k).astype(np.float64) * 0.01
+        dlon = rng.randn(h, w, k).astype(np.float64) * 0.01
+        distance = (rng.rand(h, w, k) * 1e5).astype(np.float64)
+        elevation = (rng.randn(h, w, k) * 100).astype(np.float64)
+        path_length = (rng.rand(h, w, k) * 1e5).astype(np.float64)
+        normal = rng.randn(h, w, k, 3).astype(np.float64)
+        kind = (rng.rand(h, w, k) < 0.3).astype(np.int32)
+        rgba = rng.rand(h, w, k, 4).astype(np.float64)
+
+    # first slot of the first pixel always valid (stable spot checks)
+    Hits.valid[0, 0, 0] = True
+    elev = rng.randn(h, w) * 2.0
+    az = 45.0 + rng.randn(h, w)
+    return elev, az, Hits
+
+
+# an "atmosphere" blob of awkward bytes: includes gzip magic, fake enum
+# tags, utf8-looking runs and float-like patterns to stress the anchor scan
+_ENV = (b"\x1f\x8b\x00\x00" + bytes(range(256)) * 3
+        + np.array([101325.0, 288.15, -0.0065, 530e-9]).tobytes() + b"\x02\x00\x00\x00")
+
+
+@pytest.mark.parametrize("vec3_prefixed", [False, True])
+def test_roundtrip(vec3_prefixed):
+    params = _sample_params(_ENV)
+    elev, az, hits = _sample_result()
+    blob = B.encode_alldata(params, elev, az, hits,
+                            vec3_prefixed=vec3_prefixed)
+    assert blob[:2] == B.GZIP_MAGIC
+    p2, elev2, az2, hb = B.decode_alldata(blob)
+
+    assert p2["scene"]["terrain_folder"] == "./terrain"
+    assert p2["scene"]["terrain_alpha"] == 0.8
+    assert len(p2["scene"]["objects"]) == 2
+    assert p2["scene"]["objects"][1]["shape"]["Billboard"]["texture_path"] == "tex/tree.png"
+    assert p2["view"]["frame"]["max_distance"] == 150_000.0
+    sh = p2["view"]["coloring"]["Shading"]
+    np.testing.assert_allclose(sh["light_dir_world"], [0.1, -0.2, 0.97])
+    assert p2["view"]["fog_distance"] == 80_000.0
+    assert p2["model"] == {"Spherical": {"radius": 6_371_000.0}}
+    assert p2["env_raw"] == _ENV
+    assert p2["straight_rays"] is False
+    assert p2["simulation_step"] == 50.0
+    assert p2["output"]["width"] == 5 and p2["output"]["height"] == 4
+    assert p2["output"]["generator"] == "Rectilinear"
+    assert p2["output"]["ticks"][0]["Single"]["azimuth"] == 45.0
+    assert p2["output"]["vertical_ticks"][0]["Multiple"]["labelled"] is True
+
+    np.testing.assert_allclose(elev2, elev)
+    np.testing.assert_allclose(az2, az)
+    np.testing.assert_array_equal(
+        hb.valid.sum(-1), np.asarray(hits.valid).sum(-1)
+    )
+    # spot-check one trace point end to end (compaction reorders slots)
+    i, j = 0, 0
+    s_src = int(np.nonzero(hits.valid[i, j])[0][0])
+    np.testing.assert_allclose(
+        hb.distance[i, j, 0], hits.distance[i, j, s_src], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        hb.dlat[i, j, 0], hits.dlat[i, j, s_src], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        hb.normal[i, j, 0], hits.normal[i, j, s_src], rtol=1e-6
+    )
+    assert hb.kind[i, j, 0] == hits.kind[i, j, s_src]
+
+
+def test_unit_and_simple_variants():
+    params = _sample_params(b"\x00" * 40)
+    params["model"] = "Wgs84"
+    params["view"]["coloring"] = {"Simple": {"water_level": 2.0,
+                                             "max_distance": 99.0}}
+    params["view"]["fog_distance"] = None
+    params["output"]["file_metadata"] = None
+    params["output"]["ticks"] = []
+    params["output"]["vertical_ticks"] = []
+    params["straight_rays"] = True
+    elev, az, hits = _sample_result()
+    p2, _, _, _ = B.decode_alldata(
+        B.encode_alldata(params, elev, az, hits)
+    )
+    assert p2["model"] == "Wgs84"
+    assert p2["view"]["coloring"]["Simple"]["max_distance"] == 99.0
+    assert p2["view"]["fog_distance"] is None
+    assert p2["output"]["file_metadata"] is None
+    assert p2["straight_rays"] is True
+
+
+def test_viewer_opens_bincode_artifact(tmp_path):
+    """`view` on a Rust-style .dat: load, re-render, pixel info."""
+    from atm_raytracer_tpu.meta.serialize import load_metadata
+    from atm_raytracer_tpu.meta.viewer import _render_from_metadata, pixel_info
+
+    params = _sample_params(_ENV)
+    elev, az, hits = _sample_result()
+    path = tmp_path / "ref.dat"
+    path.write_bytes(B.encode_alldata(params, elev, az, hits))
+
+    config, result = load_metadata(path)
+    assert config.output.width == 5 and config.output.height == 4
+    # the lowered world light vector survives the angle inversion exactly
+    lowered = config.view.coloring.into_coloring(
+        config.view.frame, config.view.position, config.earth_shape
+    )
+    light = np.asarray(lowered.light_dir)
+    np.testing.assert_allclose(
+        light, np.asarray([0.1, -0.2, 0.97]) / np.linalg.norm([0.1, -0.2, 0.97]),
+        atol=1e-12,
+    )
+    img = _render_from_metadata(config, result)
+    assert img.shape == (4, 5, 3) and img.dtype == np.uint8
+    info = pixel_info(config, result, 0, 0)
+    assert "dist" in info or "distance" in info.lower()
+
+
+def test_corrupt_artifact_errors():
+    params = _sample_params(_ENV)
+    elev, az, hits = _sample_result()
+    raw = gzip.decompress(B.encode_alldata(params, elev, az, hits))
+    with pytest.raises(B.BincodeError):
+        B.decode_alldata(raw[: len(raw) // 2])  # truncated

@@ -213,3 +213,26 @@ def test_translucent_terrain_multi_hit(tmp_path, terrain_dir):
     bottom_o = img_o[-10:].mean((0, 1))
     bottom_t = img_t[-10:].mean((0, 1))
     assert bottom_t[2] > bottom_o[2] + 10, "terrain should blend toward sky blue"
+
+
+def test_progress_percent_lines(tmp_path, terrain_dir):
+    """Per-percent progress during the march (fast.rs:78-87)."""
+    from atm_raytracer_tpu.config import parse_config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    cfg_path = _write_config(tmp_path, terrain_dir)
+    config = parse_config(cfg_path)
+    terrain = Terrain.from_folder(terrain_dir)
+    params = config.into_params(terrain)
+    seen = []
+    render_fast(params, terrain, progress=seen.append)
+    assert seen, "no progress reported"
+    assert max(seen) == 100
+    assert all(0 <= p <= 100 for p in seen)
+    # straight-ray mode has no march scan; still closes with 100
+    import dataclasses
+    params2 = dataclasses.replace(params, straight_rays=True)
+    seen2 = []
+    render_fast(params2, terrain, progress=seen2.append)
+    assert seen2 and seen2[-1] == 100

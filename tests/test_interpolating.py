@@ -131,3 +131,15 @@ def test_interpolating_angles_bilinear(setup):
     err_d = np.abs(np.deg2rad(res.azimuth_deg) - dirr)
     assert err_e.max() < min_es * 1.01
     assert err_d.max() < min_ds * 1.01
+
+
+def test_progress_percent_lines(setup):
+    """Per-percent progress (interpolating_rectilinear.rs:141-150)."""
+    from atm_raytracer_tpu.generators.interpolating import render_interpolating
+
+    config, terrain, params = setup
+    seen = []
+    render_interpolating(params, terrain, progress=seen.append)
+    assert seen, "no progress reported"
+    assert max(seen) == 100
+    assert all(0 <= p <= 100 for p in seen)
