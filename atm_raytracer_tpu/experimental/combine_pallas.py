@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .combine import DEATH_ALTITUDE, NO_HIT
+from ..ops.combine import DEATH_ALTITUDE, NO_HIT
 
 TILE_H = 64
 TILE_W = 256

@@ -29,7 +29,7 @@ import numpy as np
 from ..config import Params
 from ..models import camera
 from ..models.earth import EarthModel
-from ..ops import combine, combine_pallas
+from ..ops import combine
 from ..ops.composite import composite
 from ..physics.ray import EarthShape, RefractionTable, march_rays
 from ..terrain.sample import sample_terrain_data
@@ -185,25 +185,13 @@ def separable_hits(
     # 3. crossing segments [H, W, K] (int32). The chunked XLA combine fuses
     # into sign-test + integer min — the fractional hit position is a
     # per-PIXEL quantity reconstructed below, keeping division out of the
-    # H·W·N hot cube. The Pallas kernel (combine_pallas) is opt-in via
-    # ATM_RAYTRACER_PALLAS=1 — it adds tile-level early exit but its
-    # 128-wide unrolled body compiles very slowly on remote-AOT toolchains.
+    # H·W·N hot cube. (A fused Pallas crossing kernel with tile-level early
+    # exit exists in experimental/combine_pallas.py — see
+    # experimental/__init__.py for why it is not the default here.)
     n_seg = n_terr - 1
-    if (
-        max_hits == 1
-        and os.environ.get("ATM_RAYTRACER_PALLAS") == "1"
-        and combine_pallas.supports_pallas()
-    ):
-        ray_folded = combine_pallas.fold_ray_death(ray_h)
-        fkeys = combine_pallas.first_crossing_pallas(ray_folded, terr_elev, n_seg)
-        segs = jnp.where(
-            jnp.isfinite(fkeys), jnp.floor(fkeys).astype(jnp.int32),
-            combine.NO_HIT_SEG,
-        )
-    else:
-        segs = combine.terrain_crossing_segments(
-            ray_h, terr_elev, n_seg, max_hits
-        )
+    segs = combine.terrain_crossing_segments(
+        ray_h, terr_elev, n_seg, max_hits
+    )
     valid = segs < n_seg
     ks = jnp.where(valid, segs, 0)
 

@@ -5,7 +5,7 @@ import pytest
 import jax.numpy as jnp
 
 from atm_raytracer_tpu.ops import combine
-from atm_raytracer_tpu.ops.combine_pallas import (
+from atm_raytracer_tpu.experimental.combine_pallas import (
     first_crossing_pallas,
     fold_ray_death,
 )

@@ -238,7 +238,8 @@ def test_l_poly_matches_table(table):
 def test_pallas_march_interpret_matches_scan(table):
     """The Pallas march kernel (one launch, piecewise-Chebyshev l(h), no
     gathers) must reproduce the XLA scan nodes; interpret mode runs on CPU."""
-    from atm_raytracer_tpu.physics.ray import _march_nodes_pallas, initial_slope
+    from atm_raytracer_tpu.experimental.march_pallas import march_nodes_pallas as _march_nodes_pallas
+    from atm_raytracer_tpu.physics.ray import initial_slope
 
     elev = jnp.deg2rad(jnp.asarray([-0.5, -0.1, 0.0, 0.1, 1.0], jnp.float32))
     alt = jnp.full_like(elev, 100.0)
