@@ -143,15 +143,24 @@ def bench_headline(terrain):
     az = jnp.asarray(az_deg, jnp.float32)
 
     np.asarray(jitted(pack, table, el, az))  # warmup / compile
-    times = []
+    times, dev_times = [], []
     for i in range(3):
         el_i = el + np.float32(i) * np.float32(1e-7)
         t0 = time.perf_counter()
-        np.asarray(jitted(pack, table, el_i, az))
+        out = jitted(pack, table, el_i, az)
+        # device completion first (device_get of one element; CLAUDE.md —
+        # block_until_ready is unreliable over the tunnel), then the fetch:
+        # the wall's transfer share drifts with tunnel weather, the device
+        # share is the chip's own number
+        jax.device_get(out[0])
+        t1 = time.perf_counter()
+        np.asarray(out)
         times.append(time.perf_counter() - t0)
+        dev_times.append(t1 - t0)
     wall = float(np.median(times))
+    dev = float(np.median(dev_times))
     _emit("mray_steps_per_sec_per_chip", wall, width, height, max_distance,
-          step, note="1080p 200km 50m ")
+          step, note=f"1080p 200km 50m; device={dev:.3f}s ")
 
 
 def bench_small_flat(terrain):

@@ -214,3 +214,38 @@ def test_rectilinear_sharded_rows_not_divisible(setup):
     assert sharded.image.shape == (1077, 320, 3)
     np.testing.assert_array_equal(sharded.image, single.image)
     np.testing.assert_array_equal(sharded.hits.valid, single.hits.valid)
+
+
+def test_sharded_objects_match_single_chip(setup):
+    """Column-sharded Fast WITH scene objects: the per-object column windows
+    are static host tuples consumed inside the jitted core, so XLA SPMD
+    partitions the merge cleanly — bit-identical to single-chip."""
+    import numpy as np_
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_fast_sharded
+
+    config, terrain, _ = setup
+    d = config.to_dict()
+    m_per_deg = 111_194.9
+    d["scene"] = {"terrain_alpha": 0.8, "objects": [{
+        "position": {
+            "latitude": 49.5 + 900.0 / m_per_deg * np_.cos(np_.deg2rad(30.0)),
+            "longitude": 21.5 + 900.0 / m_per_deg * np_.sin(np_.deg2rad(30.0))
+            / np_.cos(np_.deg2rad(49.5)),
+            "altitude": {"Relative": 0.0},
+        },
+        "color": {"r": 1.0, "g": 0.2, "b": 0.1, "a": 0.9},
+        "shape": {"Cylinder": {"radius": 25.0, "height": 150.0}},
+    }]}
+    params = Config.from_dict(d).into_params(terrain)
+    single = render_fast(params, terrain)
+    sharded = render_fast_sharded(params, terrain, make_mesh())
+    np.testing.assert_array_equal(
+        np.asarray(sharded.image), np.asarray(single.image)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.hits.valid), np.asarray(single.hits.valid)
+    )
+    kind = np.asarray(sharded.hits.kind)[np.asarray(sharded.hits.valid)]
+    assert (kind == 1).any(), "no object hits in sharded render"
