@@ -141,6 +141,15 @@ def main(argv=None) -> int:
     # (used by CI and CPU-only environments).
     platform = os.environ.get("ATM_RAYTRACER_PLATFORM")
     if platform:
+        if platform == "cpu":
+            # XLA CPU + LLVM -O3 takes tens of minutes on the scene-object
+            # merge kernels (see ops/objects.py::_planes_to_hb NOTE); -O1
+            # compiles them in seconds with negligible runtime cost here.
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_backend_optimization_level" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_backend_optimization_level=1"
+                ).strip()
         import jax
 
         jax.config.update("jax_platforms", platform)

@@ -16,8 +16,9 @@ becomes a min-reduction (first crossing) or a running top-K merge
 
 Memory: the [H, W, C] diff cube is never materialized globally — segments are
 processed in chunks of C inside a ``lax.scan`` so XLA fuses
-broadcast−compare−reduce per chunk. A fused Pallas kernel (combine_pallas)
-supersedes this path for large frames.
+broadcast−compare−reduce per chunk. (A fused Pallas kernel with tile-level
+early exit lives in experimental/combine_pallas.py — not the default on
+this deployment; see experimental/__init__.py.)
 
 The reference's path-death rule (gen_path_cache stops one element after
 h < −1000, utils.rs:159-171) is applied via a per-ray "dead" prefix mask:

@@ -42,6 +42,26 @@ from .combine import NO_HIT
 from ..generators.base import HitBuffer
 
 
+def _materialize(x: jnp.ndarray) -> jnp.ndarray:
+    """Backend-proof materialization point for a hot intermediate.
+
+    On TPU an ``optimization_barrier`` stops XLA from rematerializing the
+    producer chain into every consumer. The XLA *CPU* pipeline strips
+    barriers, then re-fuses the trig-heavy ``enu_rel`` chain into each of
+    the ~1500 downstream merge references (minutes of runtime at tiny test
+    shapes). Sorts are never treated as fusible elementwise ops, so on CPU
+    the tensor is routed through an identity sort instead: a key-value sort
+    along the last axis keyed on an already-sorted iota returns ``x``
+    bit-identically but forces a real buffer. (A singleton-axis sort would
+    not do — the algebraic simplifier strips trivial sorts.)
+    """
+    if jax.default_backend() != "cpu":
+        return jax.lax.optimization_barrier(x)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    _, out = jax.lax.sort((idx, x), dimension=x.ndim - 1, num_keys=1)
+    return out
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ObjectSet:
@@ -410,7 +430,7 @@ def _object_window_planes(
     # materialize: without the barrier XLA remats this trig-heavy chain
     # into every consumer of the intersection math (~8× recompute, was
     # 13.9 s of a 14.5 s objects frame in one fused loop)
-    p = jax.lax.optimization_barrier(p)
+    p = _materialize(p)
     p1 = p[..., :-1, :]
     p2 = p[..., 1:, :]
     # segment eligible if either end close (utils.rs:241-250)
@@ -526,6 +546,12 @@ def _hb_to_planes(hb: HitBuffer) -> dict:
 
 
 def _planes_to_hb(planes: dict) -> HitBuffer:
+    # NOTE (CPU): XLA CPU fuses the whole upstream merge arithmetic into the
+    # per-slot output-stack kernels (~1450 HLO ops each) and LLVM -O3 then
+    # needs tens of minutes per kernel; optimization_barrier does NOT help —
+    # the CPU pipeline strips barriers. The fix is the backend flag
+    # --xla_backend_optimization_level=1 (set by tests/conftest.py and the
+    # CLI's CPU mode), which compiles the same kernels in seconds.
     key = jnp.stack(planes["key"], axis=-1)
     k = len(planes["key"])
     normal = jnp.stack(
@@ -634,13 +660,14 @@ def apply_objects_planes(
             for nm, ps in planes.items()
         }
         merged = _merge_planes(win, obj_planes, k_out)
+        # write the merged window back with ONE dynamic_update_slice per
+        # plane — the previous concat(slice, merged, slice) form nested one
+        # level per object across ~k_out·14 planes, and XLA's CPU simplifier
+        # goes superlinear on those chains (a 3-object 120×80 frame took
+        # >25 min to COMPILE; DUS chains compile in seconds)
         planes = {
             nm: [
-                jnp.concatenate(
-                    [jax.lax.slice_in_dim(p, 0, lo, axis=1), m,
-                     jax.lax.slice_in_dim(p, lo + wn, w_n, axis=1)],
-                    axis=1,
-                )
+                jax.lax.dynamic_update_slice_in_dim(p, m, lo, axis=1)
                 for p, m in zip(ps, merged[nm])
             ]
             for nm, ps in planes.items()

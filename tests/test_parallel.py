@@ -62,9 +62,14 @@ def test_sweep_frames_match_individual_renders(setup):
     dirs = [0.0, 45.0, 90.0, 135.0, 180.0]  # 5 frames on 8 devices (padded)
     frames = render_sweep_sharded(params, terrain, mesh, dirs)
     assert frames.shape == (5, 40, 72, 3)
-    # frame 1 must equal a fresh single render pointed at 45°
-    config.view.frame.direction = 45.0
-    params45 = config.into_params(terrain)
+    # frame 1 must equal a fresh single render pointed at 45° (built from a
+    # COPY — mutating the module-scoped fixture would rotate the camera for
+    # every later test in this file)
+    from atm_raytracer_tpu.config import Config
+
+    d45 = config.to_dict()
+    d45["view"]["frame"]["direction"] = 45.0
+    params45 = Config.from_dict(d45).into_params(terrain)
     single = render_fast(params45, terrain)
     np.testing.assert_array_equal(frames[1], single.image)
 
