@@ -68,6 +68,32 @@ class RenderResult:
     observer: tuple  # (lat0, lon0, alt_abs)
 
 
+def fetch_flat(arr, chunk_bytes: int = 0) -> np.ndarray:
+    """Device→host fetch of an array, flattened, as ONE transfer.
+
+    Flattening before the fetch avoids the device de-tiling pass a small
+    minor dim ([H, W, 3] u8 frames, [H, W, K] hit planes) otherwise pays
+    (CLAUDE.md). One transfer is deliberate: an interleaved A/B measurement
+    on the dev tunnel showed each transfer carries ~1 s of fixed overhead,
+    so slicing a 201 MB buffer into 8-32 MB chunks ran ~3x SLOWER than the
+    monolithic fetch (apparent chunking wins were congestion noise).
+    ``chunk_bytes > 0`` re-enables bounded slices (kept for tests and for
+    hosts where peak staging memory matters more than wall time).
+    """
+    if isinstance(arr, np.ndarray):
+        return arr.reshape(-1)
+    flat = arr.reshape(-1)
+    n = int(flat.shape[0])
+    per = int(chunk_bytes) // max(1, flat.dtype.itemsize) if chunk_bytes else n
+    if n <= per or per < 1:
+        return np.asarray(flat)
+    out = np.empty(n, np.dtype(flat.dtype.name))
+    for a in range(0, n, per):
+        b = min(a + per, n)
+        out[a:b] = np.asarray(flat[a:b])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # per-percent progress (fast.rs:78-87, rectilinear.rs:40-49,
 # interpolating_rectilinear.rs:141-150): the reference's AtomicUsize pixel

@@ -423,13 +423,17 @@ _render_fast_device = functools.partial(
 
 def render_fast(params: Params, terrain: Terrain,
                 max_hits: Optional[int] = None,
-                progress=None) -> RenderResult:
+                progress=None, fetch_image: bool = True) -> RenderResult:
     """Full Fast-generator render from lowered Params (fast.rs:22-98).
 
     ``progress`` (if given) receives whole-percent completion values — the
     TPU analog of the reference's per-percent pixel counter (fast.rs:78-87),
     emitted from the march scan on callback-capable backends and always
     closed with a final 100.
+
+    ``fetch_image=False`` leaves ``result.image`` device-resident (callers
+    that want to time or overlap the device→host transfer separately fetch
+    it themselves via ``base.fetch_flat``).
     """
     out = params.output
     frame = params.view.frame
@@ -476,7 +480,11 @@ def render_fast(params: Params, terrain: Terrain,
         )
         # fetch FLAT: a [H, W, 3] u8 fetch pays a device-side de-tiling pass
         # (the minor dim of 3 tiles badly); flat streams at link speed
-        image_host = np.asarray(image.reshape(-1)).reshape(image.shape)
+        from .base import fetch_flat
+
+        image_host = (
+            fetch_flat(image).reshape(image.shape) if fetch_image else image
+        )
     finally:
         set_progress_sink(None)
     if progress is not None:

@@ -37,7 +37,7 @@ from ..models import camera
 from ..ops.composite import composite
 from ..ops.objects import ObjectSet
 from ..terrain.store import Terrain
-from .base import HitBuffer, RenderResult
+from .base import HitBuffer, RenderResult, fetch_flat
 from .fast import build_refraction_table, separable_hits, terrain_bbox
 
 SCALE = 1.5  # interpolating_rectilinear.rs:454
@@ -489,7 +489,7 @@ def render_interpolating(
     try:
         # flat fetch: [H, W, 3] u8 de-tiles on device otherwise (the core
         # returns the frame pre-flattened)
-        image_host = np.asarray(image).reshape(out.height, out.width, 3)
+        image_host = fetch_flat(image).reshape(out.height, out.width, 3)
     finally:
         set_progress_sink(None)
     if progress is not None:

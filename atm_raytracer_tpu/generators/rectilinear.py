@@ -55,7 +55,7 @@ from ..physics.ray import (
 )
 from ..terrain.sample import sample_elevation, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
-from .base import HitBuffer, RenderResult, callbacks_supported
+from .base import HitBuffer, RenderResult, callbacks_supported, fetch_flat
 from .fast import build_refraction_table, terrain_bbox
 
 
@@ -1005,9 +1005,7 @@ def render_rectilinear(
                     with_progress=with_progress,
                     **static_kwargs,
                 )
-                image = np.asarray(images.reshape(-1))[: h * w * 3].reshape(
-                    h, w, 3
-                )
+                image = fetch_flat(images)[: h * w * 3].reshape(h, w, 3)
                 hits = jax.tree.map(
                     lambda x: x.reshape(
                         (n_chunks * r_rows * w,) + x.shape[2:]

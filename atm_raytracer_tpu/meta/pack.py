@@ -124,10 +124,12 @@ def fetch_viewer_fields(hits, step: float):
     ``hits``: a HitBuffer with device-resident arrays. One flat u8 transfer
     (12 B / pixel-slot vs 16 B for four separate f32 fetches).
     """
+    from ..generators.base import fetch_flat
+
     buf, ranges = pack_viewer_fields(
         jnp.asarray(hits.key), jnp.asarray(hits.dlat),
         jnp.asarray(hits.dlon), jnp.asarray(hits.elevation),
     )
     return unpack_viewer_fields(
-        np.asarray(buf), np.asarray(ranges), tuple(hits.key.shape), step
+        fetch_flat(buf), np.asarray(ranges), tuple(hits.key.shape), step
     )

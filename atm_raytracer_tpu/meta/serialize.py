@@ -32,6 +32,13 @@ def save_metadata(path, config: Config, result: RenderResult) -> None:
 
 
 def _savez(fh, config, result, hits):
+    from ..generators.base import fetch_flat
+
+    def hf(x, dtype):
+        # flat chunked fetch: [H, W, K(, C)] device fetches de-tile on the
+        # minor dim and big monolithic transfers collapse the tunnel rate
+        return fetch_flat(x).reshape(x.shape).astype(dtype, copy=False)
+
     np.savez_compressed(
         fh,
         format_version=np.int32(FORMAT_VERSION),
@@ -41,16 +48,16 @@ def _savez(fh, config, result, hits):
         observer=np.asarray(result.observer, np.float64),
         elevation_deg=np.asarray(result.elevation_deg, np.float64),
         azimuth_deg=np.asarray(result.azimuth_deg, np.float64),
-        valid=np.asarray(hits.valid),
-        key=np.asarray(hits.key, np.float32),
-        dlat=np.asarray(hits.dlat, np.float32),
-        dlon=np.asarray(hits.dlon, np.float32),
-        distance=np.asarray(hits.distance, np.float32),
-        elevation=np.asarray(hits.elevation, np.float32),
-        path_length=np.asarray(hits.path_length, np.float32),
-        normal=np.asarray(hits.normal, np.float32),
-        kind=np.asarray(hits.kind, np.int32),
-        rgba=np.asarray(hits.rgba, np.float32),
+        valid=hf(hits.valid, bool),
+        key=hf(hits.key, np.float32),
+        dlat=hf(hits.dlat, np.float32),
+        dlon=hf(hits.dlon, np.float32),
+        distance=hf(hits.distance, np.float32),
+        elevation=hf(hits.elevation, np.float32),
+        path_length=hf(hits.path_length, np.float32),
+        normal=hf(hits.normal, np.float32),
+        kind=hf(hits.kind, np.int32),
+        rgba=hf(hits.rgba, np.float32),
     )
 
 

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Params
 from ..generators import fast as fast_mod
+from ..generators.base import fetch_flat
 from ..generators.base import RenderResult
 from ..models import camera
 from ..ops.objects import ObjectSet
@@ -105,7 +106,7 @@ def render_fast_sharded(
     image, hits = jitted(pack_r, table_r, obj_r, elev_r, az_s)
 
     image = (
-        np.asarray(image.reshape(-1)).reshape(image.shape)[:, :true_w]
+        fetch_flat(image).reshape(image.shape)[:, :true_w]
     )  # flat fetch: [H, W, 3] u8 de-tiles on device otherwise
     hits = jax.tree.map(lambda x: x[:, :true_w], hits)  # device-resident
     return RenderResult(
@@ -251,7 +252,7 @@ def render_sweep_sharded(
         terrain_alpha=float(params.terrain_alpha),
     )
     # flat fetch (u8 frames de-tile on device otherwise), reshape on host
-    return np.asarray(images.reshape(-1)).reshape(images.shape)[:f]
+    return fetch_flat(images).reshape(images.shape)[:f]
 
 
 # module-level jit (NOT a per-call closure: a fresh jit wrapper every sweep

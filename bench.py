@@ -144,7 +144,8 @@ def bench_headline(terrain):
 
     np.asarray(jitted(pack, table, el, az))  # warmup / compile
     times, dev_times = [], []
-    for i in range(3):
+    for i in range(5):  # median of 5: the tunnel's transfer jitter (±0.5 s)
+        # would dominate a 3-sample median on a bad day
         el_i = el + np.float32(i) * np.float32(1e-7)
         t0 = time.perf_counter()
         out = jitted(pack, table, el_i, az)
@@ -233,22 +234,28 @@ def bench_8k_metadata(terrain):
         _view_dict(width, height, 120.0, max_distance, step)
     ).into_params(terrain)
 
+    from atm_raytracer_tpu.generators.base import fetch_flat
+
     shares = {}
 
     def run():
         t0 = time.perf_counter()
-        r = render_fast(params, terrain)
-        # force device completion before timing the transfer (CLAUDE.md:
+        r = render_fast(params, terrain, fetch_image=False)
+        # force device completion before timing the transfers (CLAUDE.md:
         # block_until_ready is unreliable over the tunnel)
         jax.device_get(r.hits.key.ravel()[0])
         t1 = time.perf_counter()
+        fetch_flat(r.image)  # ~50 MB u8 frame, chunked flat fetch
+        t2 = time.perf_counter()
         fetch_viewer_fields(r.hits, step)  # fused 12 B/px staging
-        shares["render_s"] = round(t1 - t0, 3)  # device compute + image fetch
-        shares["meta_transfer_s"] = round(time.perf_counter() - t1, 3)
+        shares["device_s"] = round(t1 - t0, 3)
+        shares["image_fetch_s"] = round(t2 - t1, 3)
+        shares["meta_transfer_s"] = round(time.perf_counter() - t2, 3)
 
     wall = _timed(run, runs=2)
     _emit("wide_8k_metadata", wall, width, height, max_distance, step,
-          note=(f"8192x2048 fov=120 +metadata; render={shares['render_s']}s "
+          note=(f"8192x2048 fov=120 +metadata; device={shares['device_s']}s "
+                f"image_fetch={shares['image_fetch_s']}s "
                 f"meta_transfer={shares['meta_transfer_s']}s "))
 
 
@@ -331,12 +338,22 @@ def main():
         choices=["Fast", "Rectilinear", "InterpolatingRectilinear"],
         help="time ONE generator at the headline config and exit",
     )
+    parser.add_argument(
+        "--config",
+        choices=["small_flat", "objects", "8k_metadata", "sweep", "headline"],
+        help="run ONE BASELINE matrix config and exit",
+    )
     args = parser.parse_args()
     _enable_compilation_cache()
 
     terrain = build_terrain(LAT0, LON0, 2.0, 3.0)
     if args.generator:
         bench_generator(terrain, args.generator)
+        return
+    if args.config:
+        {"small_flat": bench_small_flat, "objects": bench_objects,
+         "8k_metadata": bench_8k_metadata, "sweep": bench_sweep,
+         "headline": bench_headline}[args.config](terrain)
         return
     if args.all:
         # one failing config must not kill the matrix

@@ -47,3 +47,20 @@ def test_pack_empty_frame():
     )
     assert not v2.any()
     assert (dist2 == 0).all()
+
+
+def test_fetch_flat_chunked_matches_monolithic():
+    """Bounded-slice device fetch is bit-identical to one np.asarray."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.generators.base import fetch_flat
+
+    x = jnp.arange(17 * 589, dtype=jnp.float32).reshape(17, 589)
+    # chunk smaller than the array → exercises the sliced path
+    out = fetch_flat(x, chunk_bytes=4096)
+    np.testing.assert_array_equal(out, np.asarray(x).reshape(-1))
+    # at-or-under one chunk → single fetch path
+    np.testing.assert_array_equal(fetch_flat(x), np.asarray(x).reshape(-1))
+    # numpy passthrough
+    host = np.arange(12).reshape(3, 4)
+    np.testing.assert_array_equal(fetch_flat(host, chunk_bytes=8), host.reshape(-1))
