@@ -68,29 +68,60 @@ class RenderResult:
     observer: tuple  # (lat0, lon0, alt_abs)
 
 
+# Overlapped-fetch tuning (measured idle-host A/B on the dev tunnel,
+# 201 MB u8: monolithic np.asarray = 30.4 s; 16 MB slices x 8 threads
+# = 4.8-5.2 s across repeats — the link pipelines multiple in-flight
+# requests, so concurrency hides per-request RTT + copy latency).
+# NOTE: an earlier measurement concluded chunking was ~3x SLOWER; that
+# run shared this 1-core host with a concurrent pytest suite, which
+# starves the CPU-bound tunnel client — never benchmark transfers with
+# other host load.
+_FETCH_OVERLAP_MIN_BYTES = 32 * 1024 * 1024
+_FETCH_CHUNK_BYTES = 16 * 1024 * 1024
+_FETCH_THREADS = 8
+
+
 def fetch_flat(arr, chunk_bytes: int = 0) -> np.ndarray:
-    """Device→host fetch of an array, flattened, as ONE transfer.
+    """Device→host fetch of an array, flattened, with overlapped slices.
 
     Flattening before the fetch avoids the device de-tiling pass a small
     minor dim ([H, W, 3] u8 frames, [H, W, K] hit planes) otherwise pays
-    (CLAUDE.md). One transfer is deliberate: an interleaved A/B measurement
-    on the dev tunnel showed each transfer carries ~1 s of fixed overhead,
-    so slicing a 201 MB buffer into 8-32 MB chunks ran ~3x SLOWER than the
-    monolithic fetch (apparent chunking wins were congestion noise).
-    ``chunk_bytes > 0`` re-enables bounded slices (kept for tests and for
-    hosts where peak staging memory matters more than wall time).
+    (CLAUDE.md). Arrays under 32 MB go as one transfer; larger ones are
+    sliced into 16 MB chunks fetched from a small thread pool — each
+    worker issues an independent device→host request, so transfers
+    pipeline instead of serializing behind one stream (6x on the dev
+    tunnel; a local PCIe deployment is insensitive either way).
+    ``chunk_bytes > 0`` forces that slice size single-threaded (tests,
+    and hosts where peak staging memory matters more than wall time).
     """
     if isinstance(arr, np.ndarray):
         return arr.reshape(-1)
     flat = arr.reshape(-1)
     n = int(flat.shape[0])
-    per = int(chunk_bytes) // max(1, flat.dtype.itemsize) if chunk_bytes else n
-    if n <= per or per < 1:
+    itemsize = max(1, flat.dtype.itemsize)
+    nbytes = n * itemsize
+    if chunk_bytes:
+        per = int(chunk_bytes) // itemsize
+        if n <= per or per < 1:
+            return np.asarray(flat)
+        out = np.empty(n, np.dtype(flat.dtype.name))
+        for a in range(0, n, per):
+            b = min(a + per, n)
+            out[a:b] = np.asarray(flat[a:b])
+        return out
+    if nbytes < _FETCH_OVERLAP_MIN_BYTES:
         return np.asarray(flat)
+    from concurrent.futures import ThreadPoolExecutor
+
+    per = _FETCH_CHUNK_BYTES // itemsize
     out = np.empty(n, np.dtype(flat.dtype.name))
-    for a in range(0, n, per):
+
+    def grab(a):
         b = min(a + per, n)
         out[a:b] = np.asarray(flat[a:b])
+
+    with ThreadPoolExecutor(_FETCH_THREADS) as ex:
+        list(ex.map(grab, range(0, n, per)))
     return out
 
 

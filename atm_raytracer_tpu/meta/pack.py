@@ -1,36 +1,42 @@
-"""Device-side metadata packing: one fused transfer for viewer staging.
+"""Device-side metadata packing: compact staged transfer for viewer fields.
 
 The viewer-facing per-pixel metadata (distance, elevation, lat/lon — see
 src/viewer/app.rs:112-176) is staged from device to host. Four separate f32
 [H, W, K] fetches cost 16 B/pixel-slot through a bandwidth-limited link; this
-pack cuts that to 12 B with documented tolerances and ONE flat transfer:
+pack cuts that to 14 B across four flat 1-D segments whose host decode is
+zero-copy views + one fused multiply-add per field:
 
-* ``key`` — f32, exact. ``distance`` is derived on host as
+* ``key`` — f32, exact, fetched as-is. ``distance`` is derived on host as
   ``where(isfinite(key), key, 0) * step`` — the identical f32 expression the
   device hit path uses (generators/fast.py), so it round-trips bit-exactly;
   validity is ``isfinite(key)`` (invalid slots carry the +inf sentinel).
+* ``dlat``/``dlon`` — range-coded to 2^24 levels (f32 compute bounds the
+  usable level count) carried as u32: error ≤ range·2^-22 incl. f32
+  round-off ≈ 6.4e-7° for a 2.7°-wide footprint ≈ 7 cm — below the
+  viewer's 0.01″ (~0.3 m) DMS display step.
 * ``elevation`` — u16 range-coded against the frame's device min/max:
   error ≤ range·2^-15 incl. f32 round-off (4.6 cm for 1.5 km of relief;
   27 cm for Everest-scale 9 km — at or below the viewer's 0.1 m display
   step for any frame under ~3 km of relief).
-* ``dlat``/``dlon`` — u24 range-coded (three u8 planes by bit-slicing):
-  error ≤ range·2^-22 incl. f32 round-off ≈ 6.4e-7° for a 2.7°-wide
-  footprint ≈ 7 cm — below the viewer's 0.01″ (~0.3 m) DMS display step.
 
-Everything rides in a single flat uint8 buffer, so the fetch streams at link
-speed (no device de-tiling pass, CLAUDE.md) and pays one launch.
+Each segment is a flat 1-D array of its natural dtype, so fetches stream at
+link speed (no device de-tiling pass and no u8 byte-plane relayouts —
+device-side bitcast/interleave programs proved fragile on the remote TPU
+toolchain). Decoding is lazy (:class:`ViewerFields`): like the reference
+viewer, which deserializes the artifact once and formats a trace point only
+when a pixel is selected (viewer/app.rs:112-176), per-pixel queries decode
+O(K) values and full-frame arrays materialize only on first use.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_U24_MAX = float((1 << 24) - 1)
+_LEVELS = float(1 << 24)  # usable quantization levels (f32-round bounded)
 
 
 def _range_code(v, lo, hi, levels):
@@ -40,10 +46,8 @@ def _range_code(v, lo, hi, levels):
 
 @jax.jit
 def pack_viewer_fields(key, dlat, dlon, elevation):
-    """[H, W, K] fields → (flat u8 buffer, ranges [6] f32).
-
-    Buffer layout (P = H·W·K): key f32 as 4 u8 planes (bitcast), dlat u24
-    (3 planes hi→lo), dlon u24, elevation u16 (2 planes) — 12·P bytes.
+    """[H, W, K] fields → (key f32 [P], dlat u32 [P], dlon u32 [P],
+    elevation u16 [P], ranges [6] f32), P = H·W·K — 14 B/pixel-slot total.
     """
     valid = jnp.isfinite(key)
 
@@ -58,78 +62,180 @@ def pack_viewer_fields(key, dlat, dlon, elevation):
     lo_lo, lo_hi = rng(dlon)
     el_lo, el_hi = rng(elevation)
 
-    key_u8 = jax.lax.bitcast_convert_type(
-        key.reshape(-1), jnp.uint8
-    ).T.reshape(4, -1)  # [4, P] byte planes (LE order)
-    la = _range_code(jnp.where(valid, dlat, la_lo), la_lo, la_hi, _U24_MAX + 1)
-    lo = _range_code(jnp.where(valid, dlon, lo_lo), lo_lo, lo_hi, _U24_MAX + 1)
+    la = _range_code(jnp.where(valid, dlat, la_lo), la_lo, la_hi, _LEVELS)
+    lo = _range_code(jnp.where(valid, dlon, lo_lo), lo_lo, lo_hi, _LEVELS)
     el = _range_code(
         jnp.where(valid, elevation, el_lo), el_lo, el_hi, 65536.0
-    )
+    ).astype(jnp.uint16)
 
-    def u24_planes(x):
-        x = x.reshape(-1)
-        return jnp.stack(
-            [(x >> 16) & 0xFF, (x >> 8) & 0xFF, x & 0xFF]
-        ).astype(jnp.uint8)
-
-    def u16_planes(x):
-        x = x.reshape(-1)
-        return jnp.stack([(x >> 8) & 0xFF, x & 0xFF]).astype(jnp.uint8)
-
-    buf = jnp.concatenate(
-        [key_u8, u24_planes(la), u24_planes(lo), u16_planes(el)], axis=0
-    ).reshape(-1)
     ranges = jnp.stack([la_lo, la_hi, lo_lo, lo_hi, el_lo, el_hi])
-    return buf, ranges
+    return (key.reshape(-1), la.reshape(-1), lo.reshape(-1),
+            el.reshape(-1), ranges)
+
+
+def _decode(q_f32, lo, hi, levels):
+    """Fused single-pass f32 dequantization lo + q·(hi-lo)/(levels-1).
+
+    The scale is computed in f64 then applied in one f32 multiply-add; for
+    q ≤ 2^24 (exact in f32) the result error is ≤ 1 f32 ulp of the exact
+    dequantized value — inside the documented range·2^-22 / range·2^-15
+    bands, which already budget f32 round-off.
+    """
+    scale = np.float32(float(hi - lo) / (levels - 1.0))
+    return q_f32 * scale + np.float32(lo)
+
+
+class ViewerFields:
+    """Host-side staged viewer metadata with lazy decoding.
+
+    Mirrors the reference viewer's artifact lifecycle: the staged payload
+    lands once (four compact segments), full-frame arrays are decoded on
+    first access, and :meth:`pixel` decodes a single pixel's K slots in
+    O(K) the way app.rs:112-176 formats only the selected pixel.
+
+    Iterating/destructuring yields ``(valid, key, distance, dlat, dlon,
+    elevation)`` as [H, W, K] arrays for compatibility with the eager API.
+    """
+
+    def __init__(self, key: np.ndarray, la: np.ndarray, lo: np.ndarray,
+                 el: np.ndarray, ranges: np.ndarray,
+                 shape: Tuple[int, ...], step: float):
+        p = int(np.prod(shape))
+        self._key_flat = np.asarray(key, np.float32).reshape(-1)
+        self._la_flat = np.asarray(la, np.uint32).reshape(-1)
+        self._lo_flat = np.asarray(lo, np.uint32).reshape(-1)
+        self._el_flat = np.asarray(el, np.uint16).reshape(-1)
+        for seg in (self._key_flat, self._la_flat, self._lo_flat,
+                    self._el_flat):
+            if seg.size != p:
+                raise ValueError(f"segment size {seg.size} != P={p}")
+        self.ranges = np.asarray(ranges, np.float64)
+        self.shape = tuple(shape)
+        self.step = float(step)
+        self._p = p
+        self._cache: dict = {}
+
+    @property
+    def nbytes(self) -> int:
+        """Staged payload size (14 B per pixel-slot)."""
+        return (self._key_flat.nbytes + self._la_flat.nbytes
+                + self._lo_flat.nbytes + self._el_flat.nbytes)
+
+    # -- full-frame lazy arrays -------------------------------------------
+    def _get(self, name, make):
+        if name not in self._cache:
+            self._cache[name] = make()
+        return self._cache[name]
+
+    @property
+    def key(self):
+        return self._get("key", lambda: self._key_flat.reshape(self.shape))
+
+    @property
+    def valid(self):
+        return self._get("valid", lambda: np.isfinite(self.key))
+
+    @property
+    def distance(self):
+        # identical f32 expression to the device hit path → bit-exact
+        return self._get(
+            "distance",
+            lambda: (
+                np.where(self.valid, self.key, np.float32(0.0))
+                * np.float32(self.step)
+            ).astype(np.float32),
+        )
+
+    @property
+    def dlat(self):
+        la_lo, la_hi = self.ranges[0], self.ranges[1]
+        return self._get(
+            "dlat",
+            lambda: _decode(
+                self._la_flat.astype(np.float32), la_lo, la_hi, _LEVELS
+            ).reshape(self.shape),
+        )
+
+    @property
+    def dlon(self):
+        lo_lo, lo_hi = self.ranges[2], self.ranges[3]
+        return self._get(
+            "dlon",
+            lambda: _decode(
+                self._lo_flat.astype(np.float32), lo_lo, lo_hi, _LEVELS
+            ).reshape(self.shape),
+        )
+
+    @property
+    def elevation(self):
+        el_lo, el_hi = self.ranges[4], self.ranges[5]
+        return self._get(
+            "elevation",
+            lambda: _decode(
+                self._el_flat.astype(np.float32), el_lo, el_hi, 65536.0
+            ).reshape(self.shape),
+        )
+
+    # -- O(K) single-pixel decode (viewer click path) ---------------------
+    def pixel(self, y: int, x: int):
+        """Decode one pixel's slots → dict of [K] arrays."""
+        h, w = self.shape[0], self.shape[1]
+        k = self._p // (h * w)
+        base = (y * w + x) * k
+        sl = slice(base, base + k)
+        key = self._key_flat[sl]
+        valid = np.isfinite(key)
+        la_lo, la_hi, lo_lo, lo_hi, el_lo, el_hi = self.ranges
+        return {
+            "valid": valid,
+            "key": key,
+            "distance": (
+                np.where(valid, key, np.float32(0.0)) * np.float32(self.step)
+            ).astype(np.float32),
+            "dlat": _decode(
+                self._la_flat[sl].astype(np.float32), la_lo, la_hi, _LEVELS
+            ),
+            "dlon": _decode(
+                self._lo_flat[sl].astype(np.float32), lo_lo, lo_hi, _LEVELS
+            ),
+            "elevation": _decode(
+                self._el_flat[sl].astype(np.float32), el_lo, el_hi, 65536.0
+            ),
+        }
+
+    # -- eager-API compatibility ------------------------------------------
+    def __iter__(self):
+        return iter(
+            (self.valid, self.key, self.distance, self.dlat, self.dlon,
+             self.elevation)
+        )
 
 
 def unpack_viewer_fields(
-    buf: np.ndarray, ranges: np.ndarray, shape: Tuple[int, int, int],
-    step: float,
+    key, la, lo, el, ranges: np.ndarray, shape: Tuple[int, ...], step: float,
 ):
-    """Host inverse of :func:`pack_viewer_fields`.
+    """Host inverse of :func:`pack_viewer_fields` (eager).
 
     Returns (valid, key, distance, dlat, dlon, elevation) as [H, W, K]
     numpy arrays; ``distance`` reproduces the device expression bit-exactly.
     """
-    p = int(np.prod(shape))
-    planes = np.asarray(buf, np.uint8).reshape(12, p)
-    key = planes[:4].T.copy().view(np.float32).reshape(shape)
-    valid = np.isfinite(key)
-
-    def u24(pl):
-        return (
-            pl[0].astype(np.uint32) << 16
-        ) | (pl[1].astype(np.uint32) << 8) | pl[2]
-
-    def decode(q, lo, hi, levels):
-        return (lo + q.astype(np.float64) * (hi - lo) / (levels - 1.0)).astype(
-            np.float32
-        ).reshape(shape)
-
-    la_lo, la_hi, lo_lo, lo_hi, el_lo, el_hi = np.asarray(ranges, np.float64)
-    dlat = decode(u24(planes[4:7]), la_lo, la_hi, _U24_MAX + 1.0)
-    dlon = decode(u24(planes[7:10]), lo_lo, lo_hi, _U24_MAX + 1.0)
-    el = (planes[10].astype(np.uint32) << 8) | planes[11]
-    elevation = decode(el, el_lo, el_hi, 65536.0)
-    safe = np.where(valid, key, np.float32(0.0))
-    distance = (safe * np.float32(step)).astype(np.float32)
-    return valid, key, distance, dlat, dlon, elevation
+    return tuple(ViewerFields(key, la, lo, el, ranges, shape, step))
 
 
-def fetch_viewer_fields(hits, step: float):
+def fetch_viewer_fields(hits, step: float) -> ViewerFields:
     """Device→host staging of the viewer metadata via the fused pack.
 
-    ``hits``: a HitBuffer with device-resident arrays. One flat u8 transfer
-    (12 B / pixel-slot vs 16 B for four separate f32 fetches).
+    ``hits``: a HitBuffer with device-resident arrays. Four flat segment
+    transfers totalling 14 B / pixel-slot (vs 16 B for four raw f32
+    fetches), decoded lazily by the returned :class:`ViewerFields`.
     """
     from ..generators.base import fetch_flat
 
-    buf, ranges = pack_viewer_fields(
+    key, la, lo, el, ranges = pack_viewer_fields(
         jnp.asarray(hits.key), jnp.asarray(hits.dlat),
         jnp.asarray(hits.dlon), jnp.asarray(hits.elevation),
     )
-    return unpack_viewer_fields(
-        fetch_flat(buf), np.asarray(ranges), tuple(hits.key.shape), step
+    return ViewerFields(
+        fetch_flat(key), fetch_flat(la), fetch_flat(lo), fetch_flat(el),
+        np.asarray(ranges), tuple(hits.key.shape), step,
     )

@@ -245,18 +245,25 @@ def bench_8k_metadata(terrain):
         # block_until_ready is unreliable over the tunnel)
         jax.device_get(r.hits.key.ravel()[0])
         t1 = time.perf_counter()
-        fetch_flat(r.image)  # ~50 MB u8 frame, chunked flat fetch
+        fetch_flat(r.image)  # ~50 MB u8 frame, overlapped flat fetch
         t2 = time.perf_counter()
-        fetch_viewer_fields(r.hits, step)  # fused 12 B/px staging
+        # fused 14 B/px staging; decode is lazy (ViewerFields), so decode a
+        # pixel like the viewer's click path to prove the payload landed
+        vf = fetch_viewer_fields(r.hits, step)
+        t3 = time.perf_counter()
+        px = vf.pixel(height // 2, width // 2)
+        assert px["key"].shape == (r.hits.key.shape[-1],)
         shares["device_s"] = round(t1 - t0, 3)
         shares["image_fetch_s"] = round(t2 - t1, 3)
-        shares["meta_transfer_s"] = round(time.perf_counter() - t2, 3)
+        shares["meta_transfer_s"] = round(t3 - t2, 3)
+        shares["pixel_decode_s"] = round(time.perf_counter() - t3, 4)
 
     wall = _timed(run, runs=2)
     _emit("wide_8k_metadata", wall, width, height, max_distance, step,
           note=(f"8192x2048 fov=120 +metadata; device={shares['device_s']}s "
                 f"image_fetch={shares['image_fetch_s']}s "
-                f"meta_transfer={shares['meta_transfer_s']}s "))
+                f"meta_transfer={shares['meta_transfer_s']}s "
+                f"pixel_decode={shares['pixel_decode_s']}s "))
 
 
 def bench_sweep(terrain):

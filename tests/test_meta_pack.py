@@ -17,33 +17,44 @@ def test_pack_roundtrip_tolerances():
     elevation = (rng.rand(*shape) * 1500.0).astype(np.float32)
     step = 50.0
 
-    buf, ranges = pack_viewer_fields(key, dlat, dlon, elevation)
-    buf = np.asarray(buf)
-    assert buf.dtype == np.uint8
-    assert buf.size == 12 * int(np.prod(shape))  # 12 B / pixel-slot
+    kf, la, lo, el, ranges = pack_viewer_fields(key, dlat, dlon, elevation)
+    nbytes = sum(np.asarray(x).nbytes for x in (kf, la, lo, el))
+    assert nbytes == 14 * int(np.prod(shape))  # 14 B / pixel-slot
 
     v2, key2, dist2, dlat2, dlon2, el2 = unpack_viewer_fields(
-        buf, np.asarray(ranges), shape, step
+        kf, la, lo, el, np.asarray(ranges), shape, step
     )
     np.testing.assert_array_equal(v2, valid)
     # key exact → distance reproduces the device expression bit-exactly
     np.testing.assert_array_equal(key2[valid], key[valid])
     expect_dist = np.where(valid, key, 0.0).astype(np.float32) * np.float32(step)
     np.testing.assert_array_equal(dist2, expect_dist)
-    # u24 coding + f32 round-off: ≤ range·2^-22 (~6.4e-7° ≈ 7 cm here)
+    # 2^24-level coding + f32 round-off: ≤ range·2^-22 (~6.4e-7° ≈ 7 cm here)
     assert np.abs(dlat2[valid] - dlat[valid]).max() < 2.7 * 2.0**-22
     assert np.abs(dlon2[valid] - dlon[valid]).max() < 2.7 * 2.0**-22
     # u16 coding + f32 round-off: ≤ range·2^-15 (~4.6 cm here)
     assert np.abs(el2[valid] - elevation[valid]).max() < 1500.0 * 2.0**-15
+
+    # lazy container: O(K) pixel decode agrees with the full-frame arrays
+    from atm_raytracer_tpu.meta.pack import ViewerFields
+
+    vf = ViewerFields(kf, la, lo, el, np.asarray(ranges), shape, step)
+    px = vf.pixel(11, 29)
+    np.testing.assert_array_equal(px["valid"], valid[11, 29])
+    np.testing.assert_array_equal(px["key"], key2[11, 29])
+    np.testing.assert_array_equal(px["distance"], dist2[11, 29])
+    np.testing.assert_array_equal(px["dlat"], dlat2[11, 29])
+    np.testing.assert_array_equal(px["dlon"], dlon2[11, 29])
+    np.testing.assert_array_equal(px["elevation"], el2[11, 29])
 
 
 def test_pack_empty_frame():
     shape = (4, 5, 1)
     key = np.full(shape, np.inf, np.float32)
     z = np.zeros(shape, np.float32)
-    buf, ranges = pack_viewer_fields(key, z, z, z)
+    kf, la, lo, el, ranges = pack_viewer_fields(key, z, z, z)
     v2, key2, dist2, *_ = unpack_viewer_fields(
-        np.asarray(buf), np.asarray(ranges), shape, 50.0
+        kf, la, lo, el, np.asarray(ranges), shape, 50.0
     )
     assert not v2.any()
     assert (dist2 == 0).all()
@@ -64,3 +75,17 @@ def test_fetch_flat_chunked_matches_monolithic():
     # numpy passthrough
     host = np.arange(12).reshape(3, 4)
     np.testing.assert_array_equal(fetch_flat(host, chunk_bytes=8), host.reshape(-1))
+
+
+def test_fetch_flat_threaded_matches_monolithic():
+    """The overlapped (thread-pool) fetch path is bit-identical too."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.generators import base
+    from atm_raytracer_tpu.generators.base import fetch_flat
+
+    n = base._FETCH_OVERLAP_MIN_BYTES // 4 + 12345  # f32: just over threshold
+    x = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)).astype(
+        jnp.float32
+    )
+    np.testing.assert_array_equal(fetch_flat(x), np.asarray(x))
