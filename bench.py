@@ -217,11 +217,12 @@ def bench_objects(terrain):
 def bench_8k_metadata(terrain):
     """configs[3]: 8192×2048 wide-FoV multi-tile frame + per-pixel metadata.
 
-    Metadata staging uses the fused device-side pack (meta/pack.py): ONE
-    flat u8 transfer at 12 B/pixel-slot instead of four f32 fetches. The
-    wall still includes that transfer (view-mode compatible); over the dev
-    tunnel it runs at ~45 MB/s — a real deployment pays PCIe — so the JSON
-    also reports the device-compute and transfer shares separately.
+    Metadata staging uses the device-side pack (meta/pack.py): four flat
+    segments totalling 14 B/pixel-slot instead of four f32 fetches (16 B),
+    fetched with overlapped slices and decoded lazily on host. The wall
+    still includes that transfer (view-mode compatible); the dev tunnel is
+    bandwidth-limited — a real deployment pays PCIe — so the JSON also
+    reports the device-compute and transfer shares separately.
     """
     import jax
 
