@@ -664,10 +664,19 @@ def apply_objects_planes(
         # plane — the previous concat(slice, merged, slice) form nested one
         # level per object across ~k_out·14 planes, and XLA's CPU simplifier
         # goes superlinear on those chains (a 3-object 120×80 frame took
-        # >25 min to COMPILE; DUS chains compile in seconds)
+        # >25 min to COMPILE; DUS chains compile in seconds). The updated
+        # planes then pass through _materialize: XLA CPU otherwise re-fuses
+        # each object's merge into every later object's consumers, so both
+        # runtime and compile go EXPONENTIAL in object count (measured on a
+        # 120×80/3-object frame: >6× per added object, 88 s compile +
+        # >270 s run; with the buffer boundary the whole frame is seconds).
+        # On TPU this is an optimization_barrier — the same boundary that
+        # was already load-bearing for the window-point tensor above.
         planes = {
             nm: [
-                jax.lax.dynamic_update_slice_in_dim(p, m, lo, axis=1)
+                _materialize(
+                    jax.lax.dynamic_update_slice_in_dim(p, m, lo, axis=1)
+                )
                 for p, m in zip(ps, merged[nm])
             ]
             for nm, ps in planes.items()
