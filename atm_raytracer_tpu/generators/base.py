@@ -125,6 +125,47 @@ def fetch_flat(arr, chunk_bytes: int = 0) -> np.ndarray:
     return out
 
 
+def fetch_flat_many(arrays) -> list:
+    """Fetch several arrays flat with ONE shared overlap pool.
+
+    ``fetch_flat`` in a loop serializes whole arrays behind each other, and
+    arrays under the 32 MB threshold never overlap at all (the common case:
+    a 1080p frame's four ~8 MB viewer-metadata segments). Here every
+    (array, slice) unit of work across all inputs feeds one thread pool, so
+    small arrays pipeline against each other and big ones still split.
+    Host numpy inputs pass through untouched.
+    """
+    units = []  # (out_buffer, dst_slice, src_array)
+    outs: list = []
+    for arr in arrays:
+        if isinstance(arr, np.ndarray):
+            outs.append(arr.reshape(-1))
+            continue
+        flat = arr.reshape(-1)
+        n = int(flat.shape[0])
+        per = max(1, _FETCH_CHUNK_BYTES // max(1, flat.dtype.itemsize))
+        out = np.empty(n, np.dtype(flat.dtype.name))
+        outs.append(out)
+        for a in range(0, n, per):
+            units.append((out, a, min(a + per, n), flat))
+    if len(units) == 1:
+        out, a, b, flat = units[0]
+        out[a:b] = np.asarray(flat if (a == 0 and b == out.size) else flat[a:b])
+        return outs
+    if units:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def grab(u):
+            out, a, b, flat = u
+            out[a:b] = np.asarray(
+                flat if (a == 0 and b == out.size) else flat[a:b]
+            )
+
+        with ThreadPoolExecutor(_FETCH_THREADS) as ex:
+            list(ex.map(grab, units))
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # per-percent progress (fast.rs:78-87, rectilinear.rs:40-49,
 # interpolating_rectilinear.rs:141-150): the reference's AtomicUsize pixel

@@ -229,13 +229,14 @@ def fetch_viewer_fields(hits, step: float) -> ViewerFields:
     transfers totalling 14 B / pixel-slot (vs 16 B for four raw f32
     fetches), decoded lazily by the returned :class:`ViewerFields`.
     """
-    from ..generators.base import fetch_flat
+    from ..generators.base import fetch_flat_many
 
     key, la, lo, el, ranges = pack_viewer_fields(
         jnp.asarray(hits.key), jnp.asarray(hits.dlat),
         jnp.asarray(hits.dlon), jnp.asarray(hits.elevation),
     )
+    key_h, la_h, lo_h, el_h = fetch_flat_many((key, la, lo, el))
     return ViewerFields(
-        fetch_flat(key), fetch_flat(la), fetch_flat(lo), fetch_flat(el),
+        key_h, la_h, lo_h, el_h,
         np.asarray(ranges), tuple(hits.key.shape), step,
     )

@@ -358,7 +358,7 @@ def render_rectilinear_sharded(
         terrain_alpha=float(params.terrain_alpha),
         with_progress=False,
     )
-    image = np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+    image = fetch_flat(image_flat)[: h * w * 3].reshape(h, w, 3)
     hits = jax.tree.map(lambda a: a[:h], hits)  # drop padded rows
     return RenderResult(
         image=image,

@@ -77,6 +77,22 @@ def test_fetch_flat_chunked_matches_monolithic():
     np.testing.assert_array_equal(fetch_flat(host, chunk_bytes=8), host.reshape(-1))
 
 
+def test_fetch_flat_many_matches_individual():
+    """The shared-pool multi-array fetch is bit-identical per array."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.generators.base import fetch_flat_many
+
+    a = jnp.arange(1000, dtype=jnp.float32).reshape(10, 100)
+    b = (jnp.arange(300, dtype=jnp.uint32) * jnp.uint32(2654435761))
+    c = np.arange(12).reshape(3, 4)  # host passthrough
+    fa, fb, fc = fetch_flat_many((a, b, c))
+    np.testing.assert_array_equal(fa, np.asarray(a).reshape(-1))
+    np.testing.assert_array_equal(fb, np.asarray(b))
+    np.testing.assert_array_equal(fc, c.reshape(-1))
+    assert fetch_flat_many(()) == []
+
+
 def test_fetch_flat_threaded_matches_monolithic():
     """The overlapped (thread-pool) fetch path is bit-identical too."""
     import jax.numpy as jnp
