@@ -8,6 +8,11 @@ The reference's parallelism is rayon work-stealing over pixels on one node
   partition cleanly on W; the path tensor [H, N] and the terrain mosaic are
   replicated (tiles are ~MBs; replication is cheap at panorama scales,
   SURVEY §5). Zero cross-shard communication except the output gather.
+* ``render_rectilinear_sharded`` — image ROWS sharded through the fused
+  tilt-0 program; tilted or object scenes fall through to
+  ``render_rectilinear_pixelwise_sharded``, the dense exact per-pixel
+  program with the flattened pixel axis sharded (every scene type has a
+  multi-chip path).
 * ``render_sweep_sharded`` — a batched 360° sweep (BASELINE configs[4]):
   frames vary by direction/tilt/altitude, vmapped into one launch and
   sharded frame-wise (data parallelism) across the mesh.
@@ -289,13 +294,119 @@ def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
     )
 
 
+def render_rectilinear_pixelwise_sharded(
+    params: Params,
+    terrain: Terrain,
+    mesh: Mesh,
+    max_hits: Optional[int] = None,
+    chunk_rows: Optional[int] = None,
+) -> RenderResult:
+    """Tilted / object Rectilinear: dense exact per-pixel program, the
+    flattened pixel axis sharded over the mesh.
+
+    A tilted pinhole couples azimuth to both pixel axes (rectilinear.rs:
+    78-100), so nothing is column-shareable — but every pixel's march is
+    fully independent (the reference rayons over all pixels regardless of
+    scene, rectilinear.rs:32-37), which makes the dense program pure data
+    parallelism over P = H·W rays: elementwise on P end to end (march,
+    crossing scan, object tests, composite), zero cross-shard communication
+    except the output gather. Memory per device is bounded the same way the
+    single-chip dense path bounds it: a host loop over row chunks, each
+    chunk's [P_chunk, n_terr] march cube split 1/n_dev per device.
+
+    Exactness: this is the ground-truth dense program (the one the culled
+    tilted path is parity-tested against), so outputs are bit-identical to
+    the single-chip dense render.
+    """
+    from ..generators import rectilinear as rect_mod
+
+    out = params.output
+    frame = params.view.frame
+    pos = params.view.position
+    alt0 = pos.abs_altitude(terrain)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    h, w = out.height, out.width
+
+    elev_rad, dir_rad = camera.rectilinear_ray_params(
+        w, h, frame.fov, frame.tilt, frame.direction
+    )  # [H, W]
+    lat_rng, lon_rng = fast_mod.terrain_bbox(params)
+    pack = terrain.pack(lat_rng, lon_rng)
+    table = fast_mod.build_refraction_table(params, alt0)
+    n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
+    if max_hits is None:
+        max_hits = 1 if params.terrain_alpha >= 1.0 else 4
+    objset = ObjectSet.build(params, terrain) if params.objects else None
+
+    statics = dict(
+        model=params.model,
+        shape=params.model.to_shape(),
+        straight=params.straight_rays,
+        step=float(params.simulation_step),
+        n_terr=n_terr,
+        max_hits=int(max_hits),
+        lat0=float(pos.latitude),
+        lon0=float(pos.longitude),
+        coloring=params.coloring,
+        fog_distance=params.view.fog_distance,
+        terrain_alpha=float(params.terrain_alpha),
+    )
+
+    repl = NamedSharding(mesh, P())
+    pix = NamedSharding(mesh, P(axis))
+    pack_r = jax.device_put(pack, repl)
+    table_r = jax.device_put(table, repl)
+    obj_r = jax.device_put(objset, repl) if objset is not None else None
+
+    p_total = h * w
+    rows = chunk_rows or rect_mod._auto_chunk_rows(w, h, n_terr)
+    chunk = rows * w
+    chunk += (-chunk) % n_dev  # every shard gets an equal slice
+    pad = (-p_total) % chunk
+    elev_flat = np.zeros(p_total + pad, np.float32)
+    dir_flat = np.zeros(p_total + pad, np.float32)
+    elev_flat[:p_total] = elev_rad.reshape(-1)
+    dir_flat[:p_total] = np.rad2deg(dir_rad).reshape(-1)
+
+    images, hit_parts = [], []
+    for c0 in range(0, p_total + pad, chunk):
+        el = jax.device_put(jnp.asarray(elev_flat[c0:c0 + chunk]), pix)
+        dr = jax.device_put(jnp.asarray(dir_flat[c0:c0 + chunk]), pix)
+        img_c, hits_c = rect_mod._rectilinear_chunk(
+            pack_r, table_r, obj_r, el, dr, float(alt0), **statics
+        )
+        images.append(img_c)
+        hit_parts.append(hits_c)
+
+    image = (
+        fetch_flat(jnp.concatenate(images, axis=0)[:p_total])
+        .reshape(h, w, 3)
+    )
+    hits = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[:p_total].reshape(
+            (h, w) + xs[0].shape[1:]
+        ),
+        *hit_parts,
+    )
+    return RenderResult(
+        image=image,
+        hits=hits,
+        elevation_deg=np.rad2deg(elev_rad),
+        azimuth_deg=np.rad2deg(dir_rad),
+        observer=(pos.latitude, pos.longitude, alt0),
+    )
+
+
 def render_rectilinear_sharded(
     params: Params,
     terrain: Terrain,
     mesh: Mesh,
     max_hits: Optional[int] = None,
 ) -> RenderResult:
-    """tilt-0 Rectilinear with image ROWS sharded over the mesh axis.
+    """Rectilinear over the mesh: fused ROW sharding when tilt == 0 with no
+    objects; otherwise the dense exact program with the flattened PIXEL
+    axis sharded (``render_rectilinear_pixelwise_sharded``).
 
     The fused march+combine (generators.rectilinear.fused_shared_core) is
     elementwise per pixel row — every pixel marches its own ray against the
@@ -311,9 +422,8 @@ def render_rectilinear_sharded(
     frame = params.view.frame
     pos = params.view.position
     if frame.tilt != 0.0 or params.objects:
-        raise ValueError(
-            "render_rectilinear_sharded covers the fused tilt-0/no-objects "
-            "path; use render_rectilinear for tilted or object scenes"
+        return render_rectilinear_pixelwise_sharded(
+            params, terrain, mesh, max_hits
         )
     alt0 = pos.abs_altitude(terrain)
     axis = mesh.axis_names[0]

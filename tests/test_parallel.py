@@ -221,6 +221,50 @@ def test_rectilinear_sharded_rows_not_divisible(setup):
     np.testing.assert_array_equal(sharded.hits.valid, single.hits.valid)
 
 
+def test_tilted_object_sharded_matches_single_chip(setup):
+    """Tilted + object + translucent Rectilinear over the mesh: the dense
+    exact per-pixel program shards on the flattened pixel axis (no scene
+    type is excluded from multi-chip). Single-chip render_rectilinear
+    dispatches the same dense program for this config → bit-identical."""
+    import numpy as np_
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.parallel.mesh import (
+        make_mesh, render_rectilinear_sharded,
+    )
+
+    config, terrain, _ = setup
+    d = config.to_dict()
+    d["output"]["width"] = 36  # P = 36*24 = 864 (not divisible by 8 rows)
+    d["output"]["height"] = 24
+    d["view"]["frame"]["tilt"] = 4.0
+    d["view"]["frame"]["max_distance"] = 4000.0
+    m_per_deg = 111_194.9
+    d["scene"] = {"terrain_alpha": 0.85, "objects": [{
+        "position": {
+            "latitude": 49.5 + 700.0 / m_per_deg * np_.cos(np_.deg2rad(30.0)),
+            "longitude": 21.5 + 700.0 / m_per_deg * np_.sin(np_.deg2rad(30.0))
+            / np_.cos(np_.deg2rad(49.5)),
+            "altitude": {"Relative": 0.0},
+        },
+        "color": {"r": 0.9, "g": 0.3, "b": 0.1, "a": 1.0},
+        "shape": {"Cylinder": {"radius": 30.0, "height": 200.0}},
+    }]}
+    params = Config.from_dict(d).into_params(terrain)
+    single = render_rectilinear(params, terrain)
+    sharded = render_rectilinear_sharded(params, terrain, make_mesh())
+    assert sharded.image.shape == (24, 36, 3)
+    np.testing.assert_array_equal(sharded.image, single.image)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.hits.valid), np.asarray(single.hits.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.hits.key), np.asarray(single.hits.key)
+    )
+    kind = np.asarray(sharded.hits.kind)[np.asarray(sharded.hits.valid)]
+    assert (kind == 1).any(), "no object hits in tilted sharded render"
+
+
 def test_sharded_objects_match_single_chip(setup):
     """Column-sharded Fast WITH scene objects: the per-object column windows
     are static host tuples consumed inside the jitted core, so XLA SPMD
