@@ -61,6 +61,10 @@ def _add_gen_parser(subparsers):
     p.add_argument("--generator", dest="generator",
                    choices=["Fast", "Rectilinear", "InterpolatingRectilinear"],
                    help="Override the generator (also settable in YAML)")
+    p.add_argument("--shard", action="store_true",
+                   help="Shard the frame over all visible accelerator "
+                        "devices (multi-chip; extension over the reference "
+                        "CLI — the reference is single-node rayon)")
     p.set_defaults(func=run_gen)
 
 
@@ -92,7 +96,34 @@ def run_gen(args) -> int:
         # per-percent progress counter, fast.rs:78-87 / rectilinear.rs:40-49
         phase(f"{pct}%...")
 
-    if gen == "Fast":
+    shard = bool(getattr(args, "shard", False))
+    if shard:
+        import jax
+
+        devices = jax.devices()
+        if len(devices) < 2:
+            phase(f"--shard: only {len(devices)} device visible; "
+                  "rendering single-chip")
+            shard = False
+        elif gen == "InterpolatingRectilinear":
+            phase("--shard: InterpolatingRectilinear has no sharded path "
+                  "(snapped-grid dedup is whole-frame); rendering single-chip")
+            shard = False
+        else:
+            phase(f"Sharding over {len(devices)} devices")
+
+    if shard:
+        from .parallel.mesh import (
+            make_mesh, render_fast_sharded, render_rectilinear_sharded,
+        )
+
+        mesh = make_mesh()
+        if gen == "Fast":
+            result = render_fast_sharded(params, terrain, mesh)
+        else:
+            result = render_rectilinear_sharded(params, terrain, mesh)
+        progress(100)
+    elif gen == "Fast":
         result = render_fast(params, terrain, progress=progress)
     elif gen == "Rectilinear":
         from .generators.rectilinear import render_rectilinear

@@ -265,6 +265,51 @@ def test_tilted_object_sharded_matches_single_chip(setup):
     assert (kind == 1).any(), "no object hits in tilted sharded render"
 
 
+def test_cli_shard_flag_matches_single_chip(setup, tmp_path):
+    """`gen --shard` renders over all visible devices and produces the
+    exact PNG of the single-chip run (CLI extension over the reference's
+    single-node rayon surface)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    config, terrain, _ = setup
+    d = config.to_dict()
+    # the CLI resolves terrain_folder relative to cwd=tmp_path
+    tdir = tmp_path / "terrain"
+    tdir.mkdir()
+    make_terrain_folder(tdir, tiles=((49, 21),), n=241)
+    d.setdefault("scene", {})["terrain_folder"] = str(tdir)
+    d.setdefault("output", {})["file"] = "single.png"
+    import yaml
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(yaml.safe_dump(d))
+    env = {**os.environ, "PYTHONPATH": str(repo),
+           "ATM_RAYTRACER_PLATFORM": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                        "--xla_backend_optimization_level=1"}
+    r1 = subprocess.run(
+        [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen", "-c", str(cfg)],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr + r1.stdout
+    r2 = subprocess.run(
+        [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen", "-c", str(cfg),
+         "--output", "sharded.png", "--shard"],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr + r2.stdout
+    assert "Sharding over 8 devices" in r2.stdout
+    from PIL import Image
+
+    single = np.asarray(Image.open(tmp_path / "single.png"))
+    sharded = np.asarray(Image.open(tmp_path / "sharded.png"))
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_sharded_objects_match_single_chip(setup):
     """Column-sharded Fast WITH scene objects: the per-object column windows
     are static host tuples consumed inside the jitted core, so XLA SPMD
