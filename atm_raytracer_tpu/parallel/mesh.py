@@ -130,15 +130,18 @@ def render_sweep_sharded(
     directions_deg: Sequence[float],
     altitudes_m: Optional[Sequence[float]] = None,
     atmospheres: Optional[Sequence] = None,
+    tilts_deg: Optional[Sequence[float]] = None,
     max_hits: Optional[int] = None,
 ):
-    """Batched sweep: F frames over (direction, altitude, atmosphere),
+    """Batched sweep: F frames over (direction, tilt, altitude, atmosphere),
     frame-sharded (BASELINE configs[4]: azimuth/altitude/refraction-profile
     parameter sweeps in one vmapped launch).
 
     atmospheres: optional per-frame ``AtmosphereDef``s; their l(h) tables
     stack into a [F, n] batch (the compiled-polynomial form is per-table
     static, so batched sweeps use the table-gather march path).
+    tilts_deg: optional per-frame camera tilt; the per-row elevation grid
+    becomes a frame-sharded [F, H] batch.
 
     Returns images [F, H, W, 3] uint8 (hits are kept on device and dropped —
     a sweep's product is the frames; per-frame metadata re-renders use
@@ -163,7 +166,22 @@ def render_sweep_sharded(
         dirs = np.concatenate([dirs, np.repeat(dirs[-1:], pad)])
         alts = np.concatenate([alts, np.repeat(alts[-1:], pad)])
 
-    elev_deg = camera.fast_ray_elevations(out.width, out.height, frame.fov, frame.tilt)
+    if tilts_deg is None:
+        elev_frames = None  # replicated [H] grid at the params tilt
+        elev_deg = camera.fast_ray_elevations(
+            out.width, out.height, frame.fov, frame.tilt
+        )
+    else:
+        assert len(tilts_deg) == f, "one tilt per frame"
+        tilts = np.asarray(list(tilts_deg), np.float32)
+        if pad:
+            tilts = np.concatenate([tilts, np.repeat(tilts[-1:], pad)])
+        elev_frames = np.stack([
+            camera.fast_ray_elevations(out.width, out.height, frame.fov,
+                                       float(t))
+            for t in tilts
+        ]).astype(np.float32)  # [F, H]
+        elev_deg = elev_frames[0]
     az_rel = camera.fast_ray_azimuths(out.width, out.height, frame.fov, 0.0)
     az_frames = dirs[:, None] + az_rel[None, :].astype(np.float32)  # [F, W]
 
@@ -240,10 +258,14 @@ def render_sweep_sharded(
             pairs=jax.device_put(table.pairs, frames_sharding),
         )
     obj_r = jax.device_put(objset, repl) if objset is not None else None
-    elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
+    if elev_frames is None:
+        elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
+    else:  # per-frame tilt: [F, H] grid shards with the frames
+        elev_r = jax.device_put(jnp.asarray(elev_frames), frames_sharding)
     images = _sweep_device(
         pack_r, table_r, obj_r, elev_r, az_dev, alt_dev, light_dev,
         batched_table=table_axes is not None,
+        batched_elev=elev_frames is not None,
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -267,16 +289,16 @@ def render_sweep_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "batched_table", "model", "shape", "straight", "step", "n_terr",
-        "max_hits", "lat0", "lon0", "coloring", "fog_distance",
-        "terrain_alpha",
+        "batched_table", "batched_elev", "model", "shape", "straight",
+        "n_terr", "step", "max_hits", "lat0", "lon0", "coloring",
+        "fog_distance", "terrain_alpha",
     ),
 )
 def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
-                  batched_table=False, **statics):
-    def one_frame(tab, az_row, alt, light):
+                  batched_table=False, batched_elev=False, **statics):
+    def one_frame(tab, elev_row, az_row, alt, light):
         image, _hits = fast_mod.fast_core(
-            pack, tab, objset, elev_deg, az_row, alt, light_dir=light,
+            pack, tab, objset, elev_row, az_row, alt, light_dir=light,
             **statics,
         )
         return image
@@ -286,11 +308,11 @@ def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
 
         tab_axes = RefractionTable(h0=None, inv_dh=None, values=0, pairs=0,
                                    poly=None)
-        return jax.vmap(one_frame, in_axes=(tab_axes, 0, 0, 0))(
-            table, az_frames, alts, lights
-        )
-    return jax.vmap(one_frame, in_axes=(None, 0, 0, 0))(
-        table, az_frames, alts, lights
+    else:
+        tab_axes = None
+    elev_axes = 0 if batched_elev else None
+    return jax.vmap(one_frame, in_axes=(tab_axes, elev_axes, 0, 0, 0))(
+        table, elev_deg, az_frames, alts, lights
     )
 
 

@@ -155,6 +155,32 @@ def test_sweep_with_per_frame_atmospheres(setup):
     assert (diff > 8).mean() < 0.01
 
 
+def test_sweep_with_per_frame_tilts(setup):
+    """Per-frame camera tilt batches the [F, H] elevation grid with the
+    frames; a tilted sweep frame must equal a fresh single render at that
+    tilt (drone-style sweep: direction AND tilt vary per frame)."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
+
+    config, terrain, params = setup
+    mesh = make_mesh()
+    d0 = float(params.view.frame.direction)
+    frames = render_sweep_sharded(
+        params, terrain, mesh,
+        directions_deg=[d0, d0, d0 + 90.0],
+        tilts_deg=[0.0, 6.0, -4.0],
+    )
+    assert frames.shape[0] == 3
+    assert (frames[0] != frames[1]).any(), "tilted frame must differ"
+
+    d = config.to_dict()
+    d["view"]["frame"]["direction"] = d0
+    d["view"]["frame"]["tilt"] = 6.0
+    single = render_fast(Config.from_dict(d).into_params(terrain), terrain)
+    np.testing.assert_array_equal(frames[1], single.image)
+
+
 def test_rectilinear_sharded_matches_single_chip(setup):
     """Row-sharded fused Rectilinear is bit-identical to single-chip."""
     from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
