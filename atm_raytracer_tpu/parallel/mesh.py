@@ -131,17 +131,19 @@ def render_sweep_sharded(
     altitudes_m: Optional[Sequence[float]] = None,
     atmospheres: Optional[Sequence] = None,
     tilts_deg: Optional[Sequence[float]] = None,
+    fovs_deg: Optional[Sequence[float]] = None,
     max_hits: Optional[int] = None,
 ):
-    """Batched sweep: F frames over (direction, tilt, altitude, atmosphere),
-    frame-sharded (BASELINE configs[4]: azimuth/altitude/refraction-profile
-    parameter sweeps in one vmapped launch).
+    """Batched sweep: F frames over (direction, tilt, fov, altitude,
+    atmosphere), frame-sharded (BASELINE configs[4]: azimuth/altitude/
+    refraction-profile parameter sweeps in one vmapped launch).
 
     atmospheres: optional per-frame ``AtmosphereDef``s; their l(h) tables
     stack into a [F, n] batch (the compiled-polynomial form is per-table
     static, so batched sweeps use the table-gather march path).
-    tilts_deg: optional per-frame camera tilt; the per-row elevation grid
-    becomes a frame-sharded [F, H] batch.
+    tilts_deg / fovs_deg: optional per-frame camera tilt / field of view
+    (zoom sweeps); the per-row elevation grid becomes a frame-sharded
+    [F, H] batch.
 
     Returns images [F, H, W, 3] uint8 (hits are kept on device and dropped —
     a sweep's product is the frames; per-frame metadata re-renders use
@@ -166,24 +168,35 @@ def render_sweep_sharded(
         dirs = np.concatenate([dirs, np.repeat(dirs[-1:], pad)])
         alts = np.concatenate([alts, np.repeat(alts[-1:], pad)])
 
-    if tilts_deg is None:
-        elev_frames = None  # replicated [H] grid at the params tilt
+    def _per_frame(vals, name):
+        assert len(vals) == f, f"one {name} per frame"
+        v = np.asarray(list(vals), np.float32)
+        return np.concatenate([v, np.repeat(v[-1:], pad)]) if pad else v
+
+    if tilts_deg is None and fovs_deg is None:
+        elev_frames = None  # replicated [H] grid at the params tilt/fov
         elev_deg = camera.fast_ray_elevations(
             out.width, out.height, frame.fov, frame.tilt
         )
     else:
-        assert len(tilts_deg) == f, "one tilt per frame"
-        tilts = np.asarray(list(tilts_deg), np.float32)
-        if pad:
-            tilts = np.concatenate([tilts, np.repeat(tilts[-1:], pad)])
+        tilts = (np.full(f + pad, frame.tilt, np.float32)
+                 if tilts_deg is None else _per_frame(tilts_deg, "tilt"))
+        fovs = (np.full(f + pad, frame.fov, np.float32)
+                if fovs_deg is None else _per_frame(fovs_deg, "fov"))
         elev_frames = np.stack([
-            camera.fast_ray_elevations(out.width, out.height, frame.fov,
+            camera.fast_ray_elevations(out.width, out.height, float(fv),
                                        float(t))
-            for t in tilts
+            for fv, t in zip(fovs, tilts)
         ]).astype(np.float32)  # [F, H]
         elev_deg = elev_frames[0]
-    az_rel = camera.fast_ray_azimuths(out.width, out.height, frame.fov, 0.0)
-    az_frames = dirs[:, None] + az_rel[None, :].astype(np.float32)  # [F, W]
+    if fovs_deg is None:
+        az_rel = camera.fast_ray_azimuths(out.width, out.height, frame.fov, 0.0)
+        az_frames = dirs[:, None] + az_rel[None, :].astype(np.float32)  # [F, W]
+    else:  # per-frame fov: each frame gets its own azimuth fan
+        az_frames = np.stack([
+            d + camera.fast_ray_azimuths(out.width, out.height, float(fv), 0.0)
+            for d, fv in zip(dirs, fovs)
+        ]).astype(np.float32)  # [F, W]
 
     lat_rng, lon_rng = fast_mod.terrain_bbox(params)
     # widen the bbox: a sweep looks in every direction

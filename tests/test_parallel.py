@@ -181,6 +181,28 @@ def test_sweep_with_per_frame_tilts(setup):
     np.testing.assert_array_equal(frames[1], single.image)
 
 
+def test_sweep_with_per_frame_fovs(setup):
+    """Zoom sweep: per-frame fov re-fans both grids; a zoomed frame must
+    equal a fresh single render at that fov."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
+
+    config, terrain, params = setup
+    d0 = float(params.view.frame.direction)
+    frames = render_sweep_sharded(
+        params, terrain, make_mesh(),
+        directions_deg=[d0, d0],
+        fovs_deg=[18.0, 7.0],
+    )
+    assert (frames[0] != frames[1]).any(), "zoomed frame must differ"
+    d = config.to_dict()
+    d["view"]["frame"]["direction"] = d0
+    d["view"]["frame"]["fov"] = 7.0
+    single = render_fast(Config.from_dict(d).into_params(terrain), terrain)
+    np.testing.assert_array_equal(frames[1], single.image)
+
+
 def test_rectilinear_sharded_matches_single_chip(setup):
     """Row-sharded fused Rectilinear is bit-identical to single-chip."""
     from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
