@@ -37,7 +37,6 @@ from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult
 from ..ops.objects import (
     ObjectSet,
-    apply_objects_separable,
     object_col_windows,
 )
 
@@ -353,10 +352,19 @@ def _separable_hit_planes(
             jnp.where(valid_k, jnp.float32(terrain_alpha), 0.0)
         )
 
-    # k_out caps metadata depth at max_hits + 6 extra object layers per
-    # pixel — beyond that, front-to-back compositing is visually saturated
-    # for any alpha the config grammar can express.
-    k_out = max_hits + min(2 * objects.n_objects, 6)
+    # Slot budget: a ray can only hit objects whose static column window
+    # contains its column, so depth follows the deepest window overlap
+    # (exact for scattered scenes). When >3 windows stack on one column the
+    # default caps at 6 extra layers — compositing is visually saturated
+    # past that for any alpha the grammar can express, but metadata depth
+    # IS truncated there (the reference keeps all trace points); raise
+    # ATM_RAYTRACER_OBJ_HIT_CAP when full depth matters more than the
+    # plane-count compile/memory cost (14 channels × k_out planes).
+    from ..ops.objects import max_window_overlap
+
+    cap = int(os.environ.get("ATM_RAYTRACER_OBJ_HIT_CAP", "6"))
+    overlap = max_window_overlap(obj_windows, objects.n_objects)
+    k_out = max_hits + min(2 * overlap, max(cap, 2))
     planes = apply_objects_planes(
         planes, objects, model, lat0, lon0, step,
         ray_h, path_len, dlat, dlon, obj_windows, k_out,

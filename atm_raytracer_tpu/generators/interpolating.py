@@ -460,33 +460,32 @@ def render_interpolating(
 
     with_progress = progress is not None and callbacks_supported()
     set_progress_sink(progress)
-    image, hits = _interp_device(
-        pack, table, objset,
-        jnp.asarray(grid_elev_deg, jnp.float32),
-        jnp.asarray(grid_az_deg, jnp.float32),
-        float(alt0),
-        cam=(out.width, out.height, float(frame.fov), float(frame.tilt),
-             float(frame.direction)),
-        min_es=float(min_es),
-        min_ds=float(min_ds),
-        i_min=i_min,
-        j_min=j_min,
-        model=params.model,
-        shape=params.model.to_shape(),
-        straight=params.straight_rays,
-        step=float(params.simulation_step),
-        n_terr=n_terr,
-        max_hits=int(max_hits),
-        lat0=float(pos.latitude),
-        lon0=float(pos.longitude),
-        coloring=params.coloring,
-        fog_distance=params.view.fog_distance,
-        terrain_alpha=float(params.terrain_alpha),
-        obj_windows=obj_windows,
-        with_progress=with_progress,
-    )
-
-    try:
+    try:  # finally clears the module sink even if the device call raises
+        image, hits = _interp_device(
+            pack, table, objset,
+            jnp.asarray(grid_elev_deg, jnp.float32),
+            jnp.asarray(grid_az_deg, jnp.float32),
+            float(alt0),
+            cam=(out.width, out.height, float(frame.fov), float(frame.tilt),
+                 float(frame.direction)),
+            min_es=float(min_es),
+            min_ds=float(min_ds),
+            i_min=i_min,
+            j_min=j_min,
+            model=params.model,
+            shape=params.model.to_shape(),
+            straight=params.straight_rays,
+            step=float(params.simulation_step),
+            n_terr=n_terr,
+            max_hits=int(max_hits),
+            lat0=float(pos.latitude),
+            lon0=float(pos.longitude),
+            coloring=params.coloring,
+            fog_distance=params.view.fog_distance,
+            terrain_alpha=float(params.terrain_alpha),
+            obj_windows=obj_windows,
+            with_progress=with_progress,
+        )
         # flat fetch: [H, W, 3] u8 de-tiles on device otherwise (the core
         # returns the frame pre-flattened)
         image_host = fetch_flat(image).reshape(out.height, out.width, 3)

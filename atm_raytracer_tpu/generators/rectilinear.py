@@ -137,7 +137,12 @@ def fused_shared_core(
     stride = max(1, n_coarse // 32)
 
     def _progress_emit(k0, c):
-        frac = (k0.astype(jnp.float32) + c) / jnp.float32(n_coarse * coarse)
+        # clamp: on TPU the grouped march (group=8) runs up to group-1
+        # overshoot windows past n_coarse, whose k0 would report >100%
+        frac = jnp.minimum(
+            (k0.astype(jnp.float32) + c) / jnp.float32(n_coarse * coarse),
+            jnp.float32(1.0),
+        )
         w_i = k0 // coarse
         # always emit the FINAL window: when (n_coarse-1) is not a
         # multiple of stride the 100% line would otherwise never fire
@@ -216,7 +221,12 @@ def fused_shared_core(
         # exact local test, unrolled over the C window segments
         kglob0 = bw * coarse  # [H, W] global index of window start
         found = jnp.zeros((h_n, w_n), bool)
-        dead = h_pl[0] < jnp.float32(-1000.0)
+        # death prefix matching ray_alive_mask / the reference's stop rule
+        # (utils.rs:159-171: the first sub--1000 m sample is still recorded,
+        # so the segment STARTING at it is tested): segment j dies only from
+        # samples strictly before it — death before the window is alive0's
+        # job at scan time
+        dead = jnp.zeros((h_n, w_n), bool)
         d1s = z2
         d2s = z2
         pl1 = z2
@@ -234,7 +244,7 @@ def fused_shared_core(
             pl2 = jnp.where(cross, p_pl[j + 1], pl2)
             j_star = jnp.where(cross, jnp.float32(j), j_star)
             found = found | cross
-            dead = dead | (h_pl[j + 1] < jnp.float32(-1000.0))
+            dead = dead | (h_pl[j] < jnp.float32(-1000.0))
         valid1 = valid_w & found
         denom = d1s - d2s
         prop = d1s / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232

@@ -57,7 +57,9 @@ _EARTH_VARIANTS = (
     "SimpleSphere", "Spherical", "Ellipsoid", "Wgs84",
     "AzimuthalEquidistant", "FlatDistorted", "ObserverAe", "SimpleObserverAe",
 )
-_EARTH_FIELDS = {1: ("radius",), 2: ("a", "b"), 6: ("proj_radius",)}
+# dict keys must match models.earth.EarthModel.from_config's grammar
+# (bincode itself serializes no field names — layout is positional)
+_EARTH_FIELDS = {1: ("radius",), 2: ("a", "b"), 6: ("projection_radius",)}
 _GENERATORS = ("Fast", "InterpolatingRectilinear", "Rectilinear")
 _PALETTES = ("Legacy", "Improved")
 

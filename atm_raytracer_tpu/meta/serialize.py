@@ -32,12 +32,21 @@ def save_metadata(path, config: Config, result: RenderResult) -> None:
 
 
 def _savez(fh, config, result, hits):
-    from ..generators.base import fetch_flat
+    from ..generators.base import fetch_flat_many
 
-    def hf(x, dtype):
-        # flat chunked fetch: [H, W, K(, C)] device fetches de-tile on the
-        # minor dim and big monolithic transfers collapse the tunnel rate
-        return fetch_flat(x).reshape(x.shape).astype(dtype, copy=False)
+    # ONE shared-pool staging of all ten hit fields: flat fetches avoid the
+    # device de-tiling pass on the minor dims, and pooling pipelines the
+    # many ~8-33 MB per-field transfers that would otherwise serialize
+    names = ("valid", "key", "dlat", "dlon", "distance", "elevation",
+             "path_length", "normal", "kind", "rgba")
+    dtypes = (bool, np.float32, np.float32, np.float32, np.float32,
+              np.float32, np.float32, np.float32, np.int32, np.float32)
+    arrays = [getattr(hits, n) for n in names]
+    flats = fetch_flat_many(arrays)
+    fields = {
+        n: f.reshape(a.shape).astype(d, copy=False)
+        for n, f, a, d in zip(names, flats, arrays, dtypes)
+    }
 
     np.savez_compressed(
         fh,
@@ -48,29 +57,21 @@ def _savez(fh, config, result, hits):
         observer=np.asarray(result.observer, np.float64),
         elevation_deg=np.asarray(result.elevation_deg, np.float64),
         azimuth_deg=np.asarray(result.azimuth_deg, np.float64),
-        valid=hf(hits.valid, bool),
-        key=hf(hits.key, np.float32),
-        dlat=hf(hits.dlat, np.float32),
-        dlon=hf(hits.dlon, np.float32),
-        distance=hf(hits.distance, np.float32),
-        elevation=hf(hits.elevation, np.float32),
-        path_length=hf(hits.path_length, np.float32),
-        normal=hf(hits.normal, np.float32),
-        kind=hf(hits.kind, np.int32),
-        rgba=hf(hits.rgba, np.float32),
+        **fields,
     )
 
 
 def load_metadata(path) -> Tuple[Config, RenderResult]:
     """Load a metadata artifact: native npz OR a reference bincode ``.dat``.
 
-    The format is sniffed from the magic bytes — gzip (``\\x1f\\x8b``) means
-    a Rust-produced gzip(bincode(AllData)) artifact (generator/mod.rs:26-45)
-    and routes through :mod:`.bincode`; anything else is our npz.
+    The format is sniffed from the magic bytes — gzip (``\\x1f\\x8b``) or a
+    raw (uncompressed) bincode blob routes through :mod:`.bincode`
+    (decode_alldata handles both; generator/mod.rs:26-45); zip magic
+    (``PK``) is our npz.
     """
     with open(path, "rb") as fh:
         magic = fh.read(2)
-    if magic == b"\x1f\x8b":
+    if magic != b"PK":  # npz is a zip archive; everything else is bincode
         return _load_bincode(path)
     with np.load(path, allow_pickle=False) as z:
         version = int(z["format_version"])

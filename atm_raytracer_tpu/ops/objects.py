@@ -520,31 +520,6 @@ _PLANE_CHANNELS = (
 )
 
 
-def _hb_to_planes(hb: HitBuffer) -> dict:
-    """Explode a [..., K] HitBuffer into {channel: [K planes]}; invalid
-    slots carry key=+inf and zero payloads (the merge's match-count guard
-    relies on that)."""
-    k = hb.k_slots
-    val = [hb.valid[..., i] for i in range(k)]
-
-    def z(x, i):
-        return jnp.where(val[i], x[..., i], 0.0)
-
-    planes = {"key": [jnp.where(val[i], hb.key[..., i], NO_HIT) for i in range(k)]}
-    for name in ("dlat", "dlon", "distance", "elevation", "path_length"):
-        arr = getattr(hb, name)
-        planes[name] = [z(arr, i) for i in range(k)]
-    planes["kind"] = [
-        jnp.where(val[i], hb.kind[..., i].astype(jnp.float32), 0.0)
-        for i in range(k)
-    ]
-    for d, nm in enumerate(("nx", "ny", "nz")):
-        planes[nm] = [jnp.where(val[i], hb.normal[..., i, d], 0.0) for i in range(k)]
-    for d, nm in enumerate(("cr", "cg", "cb", "ca")):
-        planes[nm] = [jnp.where(val[i], hb.rgba[..., i, d], 0.0) for i in range(k)]
-    return planes
-
-
 def _planes_to_hb(planes: dict) -> HitBuffer:
     # NOTE (CPU): XLA CPU fuses the whole upstream merge arithmetic into the
     # per-slot output-stack kernels (~1450 HLO ops each) and LLVM -O3 then
@@ -684,27 +659,22 @@ def apply_objects_planes(
     return planes
 
 
-def apply_objects_separable(
-    hits: HitBuffer,
-    objects: ObjectSet,
-    model: EarthModel,
-    lat0: float,
-    lon0: float,
-    step: float,
-    ray_h: jnp.ndarray,
-    path_len: jnp.ndarray,
-    dlat: jnp.ndarray,
-    dlon: jnp.ndarray,
-    col_windows,
-    k_out: int,
-    k_per_object: int = 2,
-) -> HitBuffer:
-    """HitBuffer-API wrapper over ``apply_objects_planes``."""
-    planes = apply_objects_planes(
-        _hb_to_planes(hits), objects, model, lat0, lon0, step,
-        ray_h, path_len, dlat, dlon, col_windows, k_out, k_per_object,
-    )
-    return _planes_to_hb(planes)
+def max_window_overlap(col_windows, n_objects: int) -> int:
+    """Deepest static column-window overlap: the most objects any single
+    azimuth column can see. A ray can only hit objects whose window
+    contains its column, so this bounds per-pixel object-hit depth."""
+    if col_windows is None:
+        return n_objects
+    events = []
+    for lo, wn in col_windows:
+        if wn:
+            events.append((lo, 1))
+            events.append((lo + wn, -1))
+    deepest = cur = 0
+    for _, delta in sorted(events):
+        cur += delta
+        deepest = max(deepest, cur)
+    return deepest
 
 
 def object_hits_pixelwise(

@@ -197,6 +197,35 @@ def test_viewer_opens_bincode_artifact(tmp_path):
     assert "dist" in info or "distance" in info.lower()
 
 
+def test_observer_ae_artifact_loads(tmp_path):
+    """ObserverAe artifacts must survive load_metadata: the bincode field
+    key has to match EarthModel.from_config's grammar (projection_radius) —
+    regression for a decoder that emitted 'proj_radius' and crashed every
+    ObserverAe reference artifact."""
+    from atm_raytracer_tpu.meta.serialize import load_metadata
+
+    params = _sample_params(_ENV)
+    params["model"] = {"ObserverAe": {"projection_radius": 6_371_000.0}}
+    elev, az, hits = _sample_result()
+    path = tmp_path / "ae.dat"
+    path.write_bytes(B.encode_alldata(params, elev, az, hits))
+    config, result = load_metadata(path)
+    assert config.earth_shape.kind == "ObserverAe"
+
+
+def test_raw_uncompressed_bincode_loads(tmp_path):
+    """decode_alldata accepts raw bincode; load_metadata must route it
+    there (anything without zip magic) instead of np.load."""
+    from atm_raytracer_tpu.meta.serialize import load_metadata
+
+    params = _sample_params(_ENV)
+    elev, az, hits = _sample_result()
+    path = tmp_path / "raw.dat"
+    path.write_bytes(B.encode_alldata(params, elev, az, hits, compress=False))
+    config, result = load_metadata(path)
+    assert config.output.width == 5 and config.output.height == 4
+
+
 def test_corrupt_artifact_errors():
     params = _sample_params(_ENV)
     elev, az, hits = _sample_result()

@@ -194,6 +194,52 @@ def test_fused_matches_legacy_pixelwise(setup):
     assert np.median(pl) < 60.0
 
 
+def test_death_segment_still_tested(tmp_path):
+    """The segment STARTING at a ray's first sub--1000 m sample is still
+    tested for a crossing (utils.rs:159-171 records that sample before
+    stopping; ray_alive_mask and march_scan agree). Terrain at -1040 m with
+    a steep-down camera puts the crossing inside exactly that segment —
+    regression for a k==1 fused-path death prefix that killed it."""
+    import numpy as np_
+
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.terrain.store import Terrain, Tile
+
+    terrain = Terrain()
+    terrain.add_tile(Tile(
+        lat0=49, lon0=21, elev=np_.full((121, 121), -1040, np_.int16)
+    ))
+    d = {
+        "view": {
+            "position": {
+                "latitude": 49.5, "longitude": 21.5,
+                "altitude": {"Absolute": 100.0},
+            },
+            # ±80° rows: the bottom rays descend ~280 m per 50 m step, so
+            # they pass -1000 and -1040 within one segment
+            "frame": {"direction": 45.0, "fov": 160.0,
+                      "max_distance": 20_000.0},
+        },
+        "simulation_step": 50.0,
+        "output": {"width": 24, "height": 31},
+    }
+    params = Config.from_dict(d).into_params(terrain)
+    r1 = render_rectilinear(params, terrain, max_hits=1)  # k==1 fast path
+    v1 = np_.asarray(r1.hits.valid)[..., 0]
+    assert v1.any(), "steep rays into -1040 m terrain must hit"
+    # the k>1 consumer uses march_scan's reference-rule prefix mask; slot 0
+    # must agree with the k==1 fast path on validity and key
+    r2 = render_rectilinear(params, terrain, max_hits=2)
+    v2 = np_.asarray(r2.hits.valid)[..., 0]
+    np_.testing.assert_array_equal(v1, v2)
+    both = v1 & v2
+    np_.testing.assert_allclose(
+        np_.asarray(r1.hits.key)[..., 0][both],
+        np_.asarray(r2.hits.key)[..., 0][both], rtol=1e-6,
+    )
+
+
 def test_fused_multi_hit_slots(setup):
     """K>1 fused path (translucent terrain): ascending unique keys per pixel."""
     from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
