@@ -337,6 +337,31 @@ def _enable_compilation_cache():
             pass
 
 
+def _probe_device(timeout_s: int = 120) -> bool:
+    """Fail fast when the accelerator is unreachable.
+
+    A wedged remote TPU worker makes the FIRST device call hang for its
+    full recovery window (CLAUDE.md), which would stall the whole bench
+    until the caller's timeout with no output. A tiny jitted matmul in a
+    SUBPROCESS (in-process hangs are unrecoverable) bounds that to
+    ``timeout_s`` and lets the bench emit a legible failure line instead.
+    Disable with ATM_RAYTRACER_BENCH_NOPROBE=1.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("ATM_RAYTRACER_BENCH_NOPROBE"):
+        return True
+    code = ("import jax,numpy;numpy.asarray(jax.jit(lambda a:(a@a).sum())"
+            "(jax.numpy.ones((128,128))))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true",
@@ -353,6 +378,15 @@ def main():
     )
     args = parser.parse_args()
     _enable_compilation_cache()
+
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "mray_steps_per_sec_per_chip", "value": None,
+            "unit": "FAILED: accelerator unreachable (device probe timed "
+                    "out; remote TPU worker down/wedged)",
+            "vs_baseline": None,
+        }), flush=True)
+        return 1
 
     terrain = build_terrain(LAT0, LON0, 2.0, 3.0)
     if args.generator:
@@ -379,4 +413,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
