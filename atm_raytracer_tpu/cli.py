@@ -105,21 +105,22 @@ def run_gen(args) -> int:
             phase(f"--shard: only {len(devices)} device visible; "
                   "rendering single-chip")
             shard = False
-        elif gen == "InterpolatingRectilinear":
-            phase("--shard: InterpolatingRectilinear has no sharded path "
-                  "(snapped-grid dedup is whole-frame); rendering single-chip")
-            shard = False
         else:
             phase(f"Sharding over {len(devices)} devices")
 
     if shard:
         from .parallel.mesh import (
-            make_mesh, render_fast_sharded, render_rectilinear_sharded,
+            make_mesh,
+            render_fast_sharded,
+            render_interpolating_sharded,
+            render_rectilinear_sharded,
         )
 
         mesh = make_mesh()
         if gen == "Fast":
             result = render_fast_sharded(params, terrain, mesh)
+        elif gen == "InterpolatingRectilinear":
+            result = render_interpolating_sharded(params, terrain, mesh)
         else:
             result = render_rectilinear_sharded(params, terrain, mesh)
         progress(100)

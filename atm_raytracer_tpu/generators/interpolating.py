@@ -338,7 +338,7 @@ def interpolating_core(
     cam, min_es, min_ds, i_min, j_min,
     model, shape, straight, step, n_terr, max_hits, lat0, lon0,
     coloring, fog_distance, terrain_alpha, obj_windows=None,
-    with_progress=False,
+    with_progress=False, row_sharding=None,
 ):
     # per-pixel grid coordinates are derived ON device from the (static)
     # camera parameters — uploading four [H, W] arrays through the host link
@@ -355,6 +355,15 @@ def interpolating_core(
     gj = gj_abs.astype(jnp.int32) - j_min
     rem_e = ei_f - gi_abs
     rem_d = dj_f - gj_abs
+    if row_sharding is not None:
+        # multi-chip: the snapped GRID computes column-sharded (from the
+        # sharded grid_az_deg input); the per-output-pixel interpolation
+        # partitions by image rows — XLA SPMD inserts the one all-gather of
+        # the modest [He, We] grid planes at this seam
+        gi, gj, rem_e, rem_d = (
+            jax.lax.with_sharding_constraint(x, row_sharding)
+            for x in (gi, gj, rem_e, rem_d)
+        )
 
     grid = separable_hits(
         pack, table, objects, grid_elev_deg, grid_az_deg, alt0,
@@ -377,7 +386,7 @@ _interp_device = functools.partial(
         "cam", "min_es", "min_ds", "i_min", "j_min",
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
         "lon0", "coloring", "fog_distance", "terrain_alpha", "obj_windows",
-        "with_progress",
+        "with_progress", "row_sharding",
     ),
 )(interpolating_core)
 
@@ -424,7 +433,7 @@ def _camera_grids(width, height, fov, tilt, direction):
 
 def render_interpolating(
     params: Params, terrain: Terrain, max_hits: Optional[int] = None,
-    progress=None,
+    progress=None, mesh=None,
 ) -> RenderResult:
     """Full InterpolatingRectilinear render (:110-161).
 
@@ -432,6 +441,12 @@ def render_interpolating(
     TPU analog of the reference's per-percent pixel counter
     (interpolating_rectilinear.rs:141-150), emitted from the grid march scan
     on callback-capable backends and always closed with a final 100.
+
+    ``mesh`` (if given) runs multi-chip: the snapped grid computes with its
+    azimuth COLUMNS sharded (exactly like the Fast frame) and the
+    per-output-pixel interpolation partitions by image ROWS, with one
+    in-program all-gather of the grid planes between — bit-identical to
+    single-chip (the grid's padded extra columns are never referenced).
     """
     out = params.output
     frame = params.view.frame
@@ -443,6 +458,24 @@ def render_interpolating(
         out.width, out.height, float(frame.fov), float(frame.tilt),
         float(frame.direction),
     )
+
+    row_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        padn = (-grid_az_deg.shape[0]) % n_dev
+        if padn:  # continue the snapped progression; extra columns render
+            # but no output pixel's gj ever points at them
+            n0 = grid_az_deg.shape[0]
+            grid_az_deg = np.concatenate([
+                grid_az_deg,
+                np.rad2deg(np.arange(j_min + n0, j_min + n0 + padn) * min_ds),
+            ])
+        col_sharding = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        row_sharding = NamedSharding(mesh, P(axis, None))
 
     lat_rng, lon_rng = terrain_bbox(params)
     pack = terrain.pack(lat_rng, lon_rng)
@@ -456,6 +489,15 @@ def render_interpolating(
         params, terrain, grid_az_deg, n_terr
     )
 
+    grid_elev_dev = jnp.asarray(grid_elev_deg, jnp.float32)
+    grid_az_dev = jnp.asarray(grid_az_deg, jnp.float32)
+    if mesh is not None:
+        pack = jax.device_put(pack, repl)
+        table = jax.device_put(table, repl)
+        objset = jax.device_put(objset, repl) if objset is not None else None
+        grid_elev_dev = jax.device_put(grid_elev_dev, repl)
+        grid_az_dev = jax.device_put(grid_az_dev, col_sharding)
+
     from .base import callbacks_supported, set_progress_sink
 
     with_progress = progress is not None and callbacks_supported()
@@ -463,8 +505,8 @@ def render_interpolating(
     try:  # finally clears the module sink even if the device call raises
         image, hits = _interp_device(
             pack, table, objset,
-            jnp.asarray(grid_elev_deg, jnp.float32),
-            jnp.asarray(grid_az_deg, jnp.float32),
+            grid_elev_dev,
+            grid_az_dev,
             float(alt0),
             cam=(out.width, out.height, float(frame.fov), float(frame.tilt),
                  float(frame.direction)),
@@ -485,6 +527,7 @@ def render_interpolating(
             terrain_alpha=float(params.terrain_alpha),
             obj_windows=obj_windows,
             with_progress=with_progress,
+            row_sharding=row_sharding,
         )
         # flat fetch: [H, W, 3] u8 de-tiles on device otherwise (the core
         # returns the frame pre-flattened)

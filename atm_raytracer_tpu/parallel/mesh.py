@@ -329,6 +329,22 @@ def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
     )
 
 
+def render_interpolating_sharded(
+    params: Params,
+    terrain: Terrain,
+    mesh: Mesh,
+    max_hits: Optional[int] = None,
+) -> RenderResult:
+    """InterpolatingRectilinear over the mesh: the snapped grid computes
+    column-sharded (Fast-style) and the per-pixel interpolation partitions
+    by image rows, with one in-program all-gather of the grid planes at the
+    seam (generators.interpolating.render_interpolating's ``mesh`` mode).
+    """
+    from ..generators.interpolating import render_interpolating
+
+    return render_interpolating(params, terrain, max_hits=max_hits, mesh=mesh)
+
+
 def render_rectilinear_pixelwise_sharded(
     params: Params,
     terrain: Terrain,

@@ -313,6 +313,27 @@ def test_tilted_object_sharded_matches_single_chip(setup):
     assert (kind == 1).any(), "no object hits in tilted sharded render"
 
 
+def test_interpolating_sharded_matches_single_chip(setup):
+    """Column-sharded snapped grid + row-sharded interpolation must be
+    bit-identical to the single-chip Interpolating render (the padded grid
+    columns are never referenced by any output pixel)."""
+    from atm_raytracer_tpu.generators.interpolating import render_interpolating
+    from atm_raytracer_tpu.parallel.mesh import (
+        make_mesh, render_interpolating_sharded,
+    )
+
+    config, terrain, params = setup
+    single = render_interpolating(params, terrain)
+    sharded = render_interpolating_sharded(params, terrain, make_mesh())
+    np.testing.assert_array_equal(sharded.image, single.image)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.hits.valid), np.asarray(single.hits.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.hits.key), np.asarray(single.hits.key)
+    )
+
+
 def test_cli_shard_flag_matches_single_chip(setup, tmp_path):
     """`gen --shard` renders over all visible devices and produces the
     exact PNG of the single-chip run (CLI extension over the reference's
