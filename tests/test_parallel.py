@@ -360,23 +360,29 @@ def test_cli_shard_flag_matches_single_chip(setup, tmp_path):
            "ATM_RAYTRACER_PLATFORM": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
                         "--xla_backend_optimization_level=1"}
-    r1 = subprocess.run(
-        [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen", "-c", str(cfg)],
-        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
-    )
-    assert r1.returncode == 0, r1.stderr + r1.stdout
-    r2 = subprocess.run(
-        [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen", "-c", str(cfg),
-         "--output", "sharded.png", "--shard"],
-        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=600,
-    )
-    assert r2.returncode == 0, r2.stderr + r2.stdout
-    assert "Sharding over 8 devices" in r2.stdout
     from PIL import Image
 
-    single = np.asarray(Image.open(tmp_path / "single.png"))
-    sharded = np.asarray(Image.open(tmp_path / "sharded.png"))
-    np.testing.assert_array_equal(sharded, single)
+    for gen in ("Fast", "Rectilinear", "InterpolatingRectilinear"):
+        r1 = subprocess.run(
+            [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen",
+             "-c", str(cfg), "--generator", gen,
+             "--output", f"single_{gen}.png"],
+            capture_output=True, text=True, cwd=tmp_path, env=env,
+            timeout=600,
+        )
+        assert r1.returncode == 0, r1.stderr + r1.stdout
+        r2 = subprocess.run(
+            [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen",
+             "-c", str(cfg), "--generator", gen,
+             "--output", f"sharded_{gen}.png", "--shard"],
+            capture_output=True, text=True, cwd=tmp_path, env=env,
+            timeout=600,
+        )
+        assert r2.returncode == 0, r2.stderr + r2.stdout
+        assert "Sharding over 8 devices" in r2.stdout
+        single = np.asarray(Image.open(tmp_path / f"single_{gen}.png"))
+        sharded = np.asarray(Image.open(tmp_path / f"sharded_{gen}.png"))
+        np.testing.assert_array_equal(sharded, single, err_msg=gen)
 
 
 def test_sharded_objects_match_single_chip(setup):
