@@ -9,6 +9,21 @@ occlusion ordering (utils.rs:241-284).
 from pathlib import Path
 
 import numpy as np
+
+
+def test_max_window_overlap():
+    """Slot budget follows the deepest static column-window overlap."""
+    from atm_raytracer_tpu.ops.objects import max_window_overlap
+
+    assert max_window_overlap(None, 5) == 5  # no windows = full width each
+    # disjoint
+    assert max_window_overlap(((0, 10), (20, 10), (40, 10)), 3) == 1
+    # nested + offset: cols 5-9 see all three
+    assert max_window_overlap(((0, 30), (5, 10), (8, 2)), 3) == 3
+    # out-of-view objects (n=0) don't count
+    assert max_window_overlap(((0, 10), (3, 0), (5, 10)), 3) == 2
+    # touching ranges don't overlap ([0,10) then [10,10))
+    assert max_window_overlap(((0, 10), (10, 10)), 2) == 1
 import pytest
 import yaml
 
