@@ -433,7 +433,7 @@ def _camera_grids(width, height, fov, tilt, direction):
 
 def render_interpolating(
     params: Params, terrain: Terrain, max_hits: Optional[int] = None,
-    progress=None, mesh=None,
+    progress=None, mesh=None, fetch_image: bool = True,
 ) -> RenderResult:
     """Full InterpolatingRectilinear render (:110-161).
 
@@ -441,6 +441,11 @@ def render_interpolating(
     TPU analog of the reference's per-percent pixel counter
     (interpolating_rectilinear.rs:141-150), emitted from the grid march scan
     on callback-capable backends and always closed with a final 100.
+
+    ``fetch_image=False`` leaves ``result.image`` device-resident in the
+    core's native FLAT [H*W*3] u8 layout (callers that want to time or
+    overlap the device→host transfer fetch it via ``base.fetch_flat`` and
+    reshape to (H, W, 3) themselves).
 
     ``mesh`` (if given) runs multi-chip: the snapped grid computes with its
     azimuth COLUMNS sharded (exactly like the Fast frame) and the
@@ -531,7 +536,10 @@ def render_interpolating(
         )
         # flat fetch: [H, W, 3] u8 de-tiles on device otherwise (the core
         # returns the frame pre-flattened)
-        image_host = fetch_flat(image).reshape(out.height, out.width, 3)
+        image_host = (
+            fetch_flat(image).reshape(out.height, out.width, 3)
+            if fetch_image else image
+        )
     finally:
         set_progress_sink(None)
     if progress is not None:

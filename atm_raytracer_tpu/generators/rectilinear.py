@@ -936,12 +936,18 @@ def render_rectilinear(
     params: Params, terrain: Terrain, max_hits: Optional[int] = None,
     chunk_rows: Optional[int] = None,
     progress: Optional[Callable[[int], None]] = None,
+    fetch_image: bool = True,
 ) -> RenderResult:
     """Full Rectilinear render (rectilinear.rs:24-60), row-chunked.
 
     ``progress`` (if given) receives whole-percent completion values, the
     TPU analog of the reference's per-percent pixel counter
     (rectilinear.rs:40-49).
+
+    ``fetch_image=False`` leaves ``result.image`` device-resident in the
+    path's native FLAT [H*W*3]-leading u8 layout (possibly padded past
+    H*W*3; callers fetch via ``base.fetch_flat``, slice to H*W*3, and
+    reshape to (H, W, 3) themselves).
     """
     out = params.output
     frame = params.view.frame
@@ -995,7 +1001,10 @@ def render_rectilinear(
                     with_progress=with_progress,
                     **static_kwargs,
                 )
-                image = np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+                image = (
+                    np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+                    if fetch_image else image_flat
+                )
             else:
                 r_rows = chunk_rows or _auto_chunk_rows(w, h, n_terr)
                 n_chunks = -(-h // r_rows)
@@ -1015,7 +1024,10 @@ def render_rectilinear(
                     with_progress=with_progress,
                     **static_kwargs,
                 )
-                image = fetch_flat(images)[: h * w * 3].reshape(h, w, 3)
+                image = (
+                    fetch_flat(images)[: h * w * 3].reshape(h, w, 3)
+                    if fetch_image else images.reshape(-1)
+                )
                 hits = jax.tree.map(
                     lambda x: x.reshape(
                         (n_chunks * r_rows * w,) + x.shape[2:]
@@ -1044,7 +1056,10 @@ def render_rectilinear(
             fog_distance=params.view.fog_distance,
             terrain_alpha=float(params.terrain_alpha),
         )
-        image = np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+        image = (
+            np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+            if fetch_image else image_flat
+        )
         hits = jax.tree.map(
             lambda x: x.reshape((h, w) + x.shape[1:]), hits
         )
@@ -1080,9 +1095,11 @@ def render_rectilinear(
 
         # concatenate on DEVICE; only the final u8 image crosses to host (hit
         # buffers stay device-resident — see generators.fast note)
-        image = np.asarray(
-            jnp.concatenate(images, axis=0)[:p_total].reshape(-1)
-        ).reshape(h, w, 3)
+        image_flat = jnp.concatenate(images, axis=0)[:p_total].reshape(-1)
+        image = (
+            np.asarray(image_flat).reshape(h, w, 3)
+            if fetch_image else image_flat
+        )
         hits = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0)[:p_total].reshape(
                 (h, w) + xs[0].shape[1:]

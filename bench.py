@@ -293,8 +293,14 @@ def bench_sweep(terrain):
 def bench_generator(terrain, gen: str):
     """Headline config (1080p/200 km/50 m) through a specific generator —
     the reference's generator speed-ordering claim (README.md:273-279),
-    measured end to end (host orchestration + device + image fetch)."""
+    measured end to end (host orchestration + device + image fetch), with
+    the device-compute share reported next to the wall (the transfer share
+    drifts with the dev tunnel's weather; the device share is the chip's
+    own number)."""
+    import jax
+
     from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.base import fetch_flat
 
     width, height, max_distance, step = 1920, 1080, 200_000.0, 50.0
     params = Config.from_dict(
@@ -310,9 +316,24 @@ def bench_generator(terrain, gen: str):
         from atm_raytracer_tpu.generators.interpolating import (
             render_interpolating as render,
         )
-    wall = _timed(lambda: render(params, terrain))
+
+    def run():
+        t0 = time.perf_counter()
+        r = render(params, terrain, fetch_image=False)
+        # device completion first (device_get of one element; CLAUDE.md —
+        # block_until_ready is unreliable over the tunnel), then the fetch
+        jax.device_get(r.image.ravel()[0])
+        t1 = time.perf_counter()
+        img = fetch_flat(r.image)[: height * width * 3]
+        assert img.shape == (height * width * 3,)
+        return t1 - t0, time.perf_counter() - t0
+
+    run()  # warmup / compile
+    pairs = [run() for _ in range(3)]
+    dev = float(np.median([p[0] for p in pairs]))
+    wall = float(np.median([p[1] for p in pairs]))
     _emit(f"generator_{gen}", wall, width, height, max_distance, step,
-          note=f"{gen} 1080p 200km 50m ")
+          note=f"{gen} 1080p 200km 50m; device={dev:.3f}s ")
 
 
 def _enable_compilation_cache():

@@ -339,3 +339,35 @@ def test_culled_matches_dense_variants(setup, extra):
         - np.asarray(dense.hits.distance[..., 0])
     )[both]
     assert np.median(dd) < 1.0, np.median(dd)
+
+
+def test_fetch_image_false_matches_fetched(setup):
+    """``fetch_image=False`` (bench device/transfer split) leaves the image
+    device-resident but byte-identical after a flat fetch, on every
+    generator and on both exact Rectilinear regimes (the flag is host-side
+    only, so the device programs are shared with the default path)."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.generators.base import fetch_flat
+    from atm_raytracer_tpu.generators.interpolating import render_interpolating
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    h, w = params.output.height, params.output.width
+
+    d = config.to_dict()
+    d["view"]["frame"]["tilt"] = -1.0  # envelope-culled exact regime
+    params_tilt = Config.from_dict(d).into_params(terrain)
+
+    cases = [
+        (render_fast, params),
+        (render_interpolating, params),
+        (render_rectilinear, params),       # fused tilt-0 regime
+        (render_rectilinear, params_tilt),  # culled tilted regime
+    ]
+    for render, p in cases:
+        fetched = np.asarray(render(p, terrain).image)
+        r = render(p, terrain, fetch_image=False)
+        assert not isinstance(r.image, np.ndarray), render.__name__
+        flat = fetch_flat(r.image)[: h * w * 3].reshape(h, w, 3)
+        np.testing.assert_array_equal(fetched, flat, err_msg=render.__name__)
