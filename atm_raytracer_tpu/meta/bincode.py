@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+import zlib
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -383,7 +384,15 @@ def decode_alldata(blob: bytes):
     ``params_dict`` carries scene/view/model/output plus ``env_raw`` (the
     opaque atm-refraction Environment bytes, preserved for round-trips).
     """
-    data = gzip.decompress(blob) if blob[:2] == GZIP_MAGIC else blob
+    if blob[:2] == GZIP_MAGIC:
+        try:
+            data = gzip.decompress(blob)
+        except (OSError, EOFError, zlib.error) as e:
+            # zlib.error is not a ValueError/OSError; normalize so callers
+            # (cli view's ERROR line, main.rs:36-38 analog) catch one family
+            raise BincodeError(f"corrupt gzip stream: {e}") from e
+    else:
+        data = blob
     r = _Reader(data)
     scene = _read_scene(r)
     view = _read_view(r)

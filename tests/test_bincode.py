@@ -232,3 +232,41 @@ def test_corrupt_artifact_errors():
     raw = gzip.decompress(B.encode_alldata(params, elev, az, hits))
     with pytest.raises(B.BincodeError):
         B.decode_alldata(raw[: len(raw) // 2])  # truncated
+
+
+def test_fuzzed_artifact_never_crashes():
+    """Corrupted reference artifacts must fail with the documented error
+    family (BincodeError/ValueError/gzip-OSError/EOFError), never an
+    internal IndexError/struct.error/KeyError — the viewer surfaces these
+    as a clean ERROR line (main.rs:36-38 analog)."""
+    params = _sample_params(_ENV)
+    elev, az, hits = _sample_result()
+    blob = B.encode_alldata(params, elev, az, hits)  # gzipped
+    raw = gzip.decompress(blob)
+    rng = np.random.RandomState(41)
+    ok_types = (B.BincodeError, ValueError, OSError, EOFError)
+
+    def attempt(data):
+        try:
+            B.decode_alldata(bytes(data))
+        except ok_types:
+            pass  # clean, documented failure
+        # benign mutations (env padding, float payloads) may still decode
+
+    for src in (blob, raw):
+        for _ in range(120):
+            buf = bytearray(src)
+            mode = rng.randint(3)
+            if mode == 0:  # single byte flip
+                i = rng.randint(len(buf))
+                buf[i] ^= 1 << rng.randint(8)
+            elif mode == 1:  # truncate
+                buf = buf[: rng.randint(len(buf))]
+            else:  # splice a random run
+                i = rng.randint(len(buf))
+                n = min(rng.randint(1, 32), len(buf) - i)
+                buf[i:i + n] = rng.bytes(n)
+            attempt(buf)
+    attempt(b"")
+    attempt(b"\x1f\x8b")
+    attempt(rng.bytes(4096))
