@@ -209,9 +209,25 @@ def bench_objects(terrain):
     d = _view_dict(width, height, 40.0, max_distance, step,
                    scene={"objects": objects, "terrain_alpha": 0.65})
     params = Config.from_dict(d).into_params(terrain)
-    wall = _timed(lambda: render_fast(params, terrain))
+
+    import jax
+
+    from atm_raytracer_tpu.generators.base import fetch_flat
+
+    def run():
+        t0 = time.perf_counter()
+        r = render_fast(params, terrain, fetch_image=False)
+        jax.device_get(r.image.ravel()[0])
+        t1 = time.perf_counter()
+        fetch_flat(r.image)
+        return t1 - t0, time.perf_counter() - t0
+
+    run()  # warmup / compile
+    pairs = [run() for _ in range(3)]
+    dev = float(np.median([p[0] for p in pairs]))
+    wall = float(np.median([p[1] for p in pairs]))
     _emit("objects_translucent", wall, width, height, max_distance, step,
-          note="1080p objects alpha=0.65 ")
+          note=f"1080p objects alpha=0.65; device={dev:.3f}s ")
 
 
 def bench_8k_metadata(terrain):
