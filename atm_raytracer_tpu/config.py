@@ -264,13 +264,17 @@ class ConfColoring:
         if k == "Simple":
             return ConfColoring(kind="Simple", water_level=float(d.get("water_level", 0.0)))
         if k == "Shading":
+            palette = str(d.get("palette", "Improved"))
+            if palette not in ("Legacy", "Improved"):
+                # serde rejects unknown variants at parse time (shading.rs:9-14)
+                raise ValueError(f"unknown palette {palette!r}")
             return ConfColoring(
                 kind="Shading",
                 water_level=float(d.get("water_level", 0.0)),
                 ambient_light=float(d.get("ambient_light", 0.4)),
                 light_zenith_angle=float(d.get("light_zenith_angle", 45.0)),
                 light_dir=float(d.get("light_dir", 0.0)),
-                palette=str(d.get("palette", "Improved")),
+                palette=palette,
             )
         raise ValueError(f"unknown coloring {k!r}")
 
@@ -381,6 +385,15 @@ class Tick:
         return self.azimuth if self.kind == "Single" else self.step
 
 
+def _check_generator(name: str) -> str:
+    # serde rejects unknown GeneratorDef variants at parse time
+    # (params.rs:387-392); matching keeps a --shard run from silently
+    # falling through the generator dispatch
+    if name not in ("Fast", "Rectilinear", "InterpolatingRectilinear"):
+        raise ValueError(f"unknown generator {name!r}")
+    return name
+
+
 @dataclasses.dataclass
 class Output:
     file: str = "./output.png"
@@ -407,7 +420,7 @@ class Output:
             ],
             show_eye_level=bool(d.get("show_eye_level", False)),
             show_flat_horizon=bool(d.get("show_flat_horizon", False)),
-            generator=str(d.get("generator", "Fast")),
+            generator=_check_generator(str(d.get("generator", "Fast"))),
         )
 
     def to_config(self):
@@ -586,5 +599,5 @@ def merge_cli(config: Config, args) -> Config:
     if bool(getattr(args, "straight", False)):
         config.straight_rays = True
     if getattr(args, "generator", None) is not None:
-        config.output.generator = args.generator
+        config.output.generator = _check_generator(args.generator)
     return config

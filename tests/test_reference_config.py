@@ -200,3 +200,35 @@ def test_reference_style_config_end_to_end(tmp_path):
     assert config2.earth_shape.kind == "Spherical"
     assert len(config2.scene.objects) == 3
     assert config2.atmosphere == atm
+
+
+def test_unknown_enum_variants_rejected_at_parse():
+    """serde rejects unknown enum variants at deserialize time (params.rs
+    passim); matching keeps a bad palette from silently rendering Improved
+    and a bad generator from silently falling through the CLI dispatch."""
+    import pytest
+
+    from atm_raytracer_tpu.config import Config
+
+    base = {
+        "view": {
+            "position": {"latitude": 49.5, "longitude": 21.5,
+                         "altitude": {"Absolute": 100.0}},
+            "frame": {},
+        },
+        "output": {},
+    }
+    for patch, msg in [
+        ({"output": {"generator": "Quantum"}}, "generator"),
+        ({"view": {**base["view"],
+                   "coloring": {"Shading": {"palette": "Nope"}}}}, "palette"),
+        ({"view": {**base["view"],
+                   "coloring": {"Rainbow": {}}}}, "coloring"),
+        ({"earth_shape": "NotAModel"}, "earth_shape"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            Config.from_dict({**base, **patch})
+    # valid variants still parse
+    Config.from_dict({**base, "output": {"generator": "Rectilinear"}})
+    Config.from_dict({**base, "view": {**base["view"], "coloring": {
+        "Shading": {"palette": "Legacy"}}}})
