@@ -155,6 +155,31 @@ def test_sweep_with_per_frame_atmospheres(setup):
     assert (diff > 8).mean() < 0.01
 
 
+def test_sweep_with_per_frame_altitudes(setup):
+    """Per-frame observer altitude (drone ascent sweep): an elevated frame
+    must equal a fresh single render at that absolute altitude (the shared
+    refraction table is built at the sweep's max altitude and covers every
+    frame's march identically)."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
+
+    config, terrain, params = setup
+    d0 = float(params.view.frame.direction)
+    alt0 = params.view.position.abs_altitude(terrain)
+    frames = render_sweep_sharded(
+        params, terrain, make_mesh(),
+        directions_deg=[d0, d0],
+        altitudes_m=[alt0, alt0 + 90.0],
+    )
+    assert (frames[0] != frames[1]).any(), "elevated frame must differ"
+    d = config.to_dict()
+    d["view"]["frame"]["direction"] = d0
+    d["view"]["position"]["altitude"] = {"Absolute": float(alt0 + 90.0)}
+    single = render_fast(Config.from_dict(d).into_params(terrain), terrain)
+    np.testing.assert_array_equal(frames[1], single.image)
+
+
 def test_sweep_with_per_frame_tilts(setup):
     """Per-frame camera tilt batches the [F, H] elevation grid with the
     frames; a tilted sweep frame must equal a fresh single render at that
