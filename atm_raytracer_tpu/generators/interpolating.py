@@ -51,6 +51,12 @@ def gen_fov_data(width, height, fov, tilt, direction):
     and row-wise direction deltas, clamped below by fov_rad/width/3, times 1.5.
     """
     elev, dirr = camera.rectilinear_ray_params(width, height, fov, tilt, direction)
+    # unwrap the atan2 direction about the camera: a view straddling the
+    # ±180° seam must NOT make the snapped grid span ~360° of azimuth
+    # (fused_culled_core unwraps the same seam; azimuth is periodic, so the
+    # corner angles gj·min_ds stay physically identical mod 360°)
+    dir_rad = math.radians(direction)
+    dirr = dir_rad + np.mod(dirr - dir_rad + np.pi, 2.0 * np.pi) - np.pi
     min_diff = math.radians(fov) / width / 3.0
 
     dl_e = np.abs(np.diff(elev, axis=0))
@@ -318,10 +324,16 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
         kf: jnp.stack([s[kf] for s in slot_fields], axis=2)
         for kf in slot_fields[0]
     }
-    rank = jnp.cumsum(valid_out.astype(jnp.float32), axis=-1)
+    # key honors the HitBuffer contract (base.py: march sort position
+    # k + prop, so distance ≈ key·step) — meta/pack derives viewer distance
+    # from it; a slot-rank key would silently corrupt staged metadata.
+    # Interpolated slots ascend in distance (groups are emitted ascending
+    # by min distance), so key stays ascending as required.
     return HitBuffer(
         valid=valid_out,
-        key=jnp.where(valid_out, rank, jnp.inf),
+        key=jnp.where(
+            valid_out, tp["distance"] / jnp.float32(step_size), jnp.inf
+        ),
         dlat=tp["dlat"],
         dlon=tp["dlon"],
         distance=tp["distance"],
@@ -347,6 +359,11 @@ def interpolating_core(
     elev, dirr = camera.rectilinear_ray_params_device(
         width, height, fov, tilt, direction
     )
+    # unwrap about the camera direction — must mirror gen_fov_data's host
+    # unwrap exactly or gi/gj land outside the host-derived grid extents
+    dir_rad = jnp.float32(math.radians(direction))
+    pi = jnp.float32(math.pi)
+    dirr = dir_rad + jnp.mod(dirr - dir_rad + pi, 2.0 * pi) - pi
     ei_f = elev / jnp.float32(min_es)
     dj_f = dirr / jnp.float32(min_ds)
     gi_abs = jnp.floor(ei_f)

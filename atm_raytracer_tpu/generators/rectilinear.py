@@ -103,7 +103,13 @@ def fused_shared_core(
     per window, never in the H·W·C cube (same economy as ops.combine).
     """
     n_seg = n_terr - 1
-    coarse = _march_coarse(step)
+    # clamp exactly like march_scan_light does internally: for a march
+    # shorter than one coarse window (n_seg < coarse) the post-scan
+    # rk4_window re-expansion and all k0//coarse window bookkeeping must
+    # use the SAME window size the scan integrated with, or the "bitwise
+    # the fine values the scan saw" invariant breaks and the exact re-test
+    # can reject a crossing the scan found
+    coarse = max(1, min(_march_coarse(step), n_seg))
     if elev_hw is None:
         # derive the pixel elevation grid ON device: uploading a [H, W] f32
         # grid costs more tunnel time than the whole render (models.camera
@@ -564,7 +570,9 @@ def fused_culled_core(
     """
     width, height, fov, tilt, direction = cam
     n_seg = n_terr - 1
-    coarse = _march_coarse(step)
+    # clamp like the scans do internally (see fused_shared_core): block
+    # bookkeeping must use the window size the scan integrates with
+    coarse = max(1, min(_march_coarse(step), n_seg))
     b_len = block_windows * coarse  # segments per block
     nb = -(-n_seg // b_len)
     n_march = nb * b_len  # march through whole blocks; masks trim the tail
@@ -981,11 +989,9 @@ def render_rectilinear(
     )
 
     if frame.tilt == 0.0:
-        # exact column-constant azimuth: direction + atan2(x_off, z_focal)
-        # (rectilinear.rs:78-100 at pitch 0)
-        x = (np.arange(w) - w // 2).astype(np.float64)
-        z = w / 2.0 / np.tan(np.deg2rad(frame.fov) / 2.0)
-        az_col = frame.direction + np.rad2deg(np.arctan2(x, z))  # [W]
+        az_col = camera.rectilinear_column_azimuths(
+            w, frame.fov, frame.direction
+        )  # [W]
         az_dev = jnp.asarray(az_col, jnp.float32)
 
         with_progress = progress is not None and callbacks_supported()
@@ -1002,7 +1008,7 @@ def render_rectilinear(
                     **static_kwargs,
                 )
                 image = (
-                    np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+                    fetch_flat(image_flat)[: h * w * 3].reshape(h, w, 3)
                     if fetch_image else image_flat
                 )
             else:
@@ -1057,7 +1063,7 @@ def render_rectilinear(
             terrain_alpha=float(params.terrain_alpha),
         )
         image = (
-            np.asarray(image_flat)[: h * w * 3].reshape(h, w, 3)
+            fetch_flat(image_flat)[: h * w * 3].reshape(h, w, 3)
             if fetch_image else image_flat
         )
         hits = jax.tree.map(
@@ -1090,14 +1096,16 @@ def render_rectilinear(
             images.append(img_c)
             hit_parts.append(hits_c)
             if progress is not None:
-                jax.block_until_ready(img_c)
+                # device_get of one element, not block_until_ready — the
+                # latter can return early over the remote-TPU tunnel
+                jax.device_get(img_c.ravel()[0])
                 progress(int((i + 1) * 100 / n_chunks))
 
         # concatenate on DEVICE; only the final u8 image crosses to host (hit
         # buffers stay device-resident — see generators.fast note)
         image_flat = jnp.concatenate(images, axis=0)[:p_total].reshape(-1)
         image = (
-            np.asarray(image_flat).reshape(h, w, 3)
+            fetch_flat(image_flat).reshape(h, w, 3)
             if fetch_image else image_flat
         )
         hits = jax.tree.map(

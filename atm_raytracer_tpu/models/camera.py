@@ -37,6 +37,21 @@ def wrap_azimuth_deg(az):
     return np.where(az < 0.0, az + 360.0, np.where(az >= 360.0, az - 360.0, az))
 
 
+def rectilinear_column_azimuths(
+    width: int, fov: float, direction: float
+) -> np.ndarray:
+    """Per-COLUMN azimuth of the tilt-0 pinhole, degrees ([W] f64).
+
+    At pitch 0 the per-pixel direction (rectilinear.rs:78-100) reduces to
+    ``direction + atan2(x_off, z_focal)`` — constant down each image column.
+    Single source for the fused tilt-0 Rectilinear and its row-sharded
+    multi-chip twin, which must stay bit-identical.
+    """
+    x = (np.arange(width) - width // 2).astype(np.float64)
+    z = width / 2.0 / np.tan(np.deg2rad(fov) / 2.0)
+    return direction + np.rad2deg(np.arctan2(x, z))
+
+
 def _euler_zyx(yaw: float, pitch: float) -> np.ndarray:
     """R_z(yaw) @ R_y(pitch) (roll = 0), matching nalgebra from_euler_angles."""
     cy, sy = np.cos(yaw), np.sin(yaw)

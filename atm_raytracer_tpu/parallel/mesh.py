@@ -85,9 +85,17 @@ def render_fast_sharded(
     col_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    core = functools.partial(
-        fast_mod.fast_core,
-        obj_windows=obj_windows,
+    pack_r = jax.device_put(pack, repl)
+    table_r = jax.device_put(table, repl)
+    obj_r = jax.device_put(objset, repl) if objset is not None else None
+    elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
+    az_s = jax.device_put(jnp.asarray(az_padded), col_sharding)
+
+    # the module-level jitted core (same cache render_fast hits) — a fresh
+    # jit-wrapped closure here would recompile the whole pipeline per call
+    # (CLAUDE.md; 30-130 s on the remote TPU)
+    image, hits = fast_mod._render_fast_device(
+        pack_r, table_r, obj_r, elev_r, az_s, float(alt0),
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -99,16 +107,8 @@ def render_fast_sharded(
         coloring=params.coloring,
         fog_distance=params.view.fog_distance,
         terrain_alpha=float(params.terrain_alpha),
+        obj_windows=obj_windows,
     )
-
-    pack_r = jax.device_put(pack, repl)
-    table_r = jax.device_put(table, repl)
-    obj_r = jax.device_put(objset, repl) if objset is not None else None
-    elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
-    az_s = jax.device_put(jnp.asarray(az_padded), col_sharding)
-
-    jitted = jax.jit(lambda pk, tb, ob, el, az: core(pk, tb, ob, el, az, float(alt0)))
-    image, hits = jitted(pack_r, table_r, obj_r, elev_r, az_s)
 
     image = (
         fetch_flat(image).reshape(image.shape)[:, :true_w]
@@ -188,7 +188,7 @@ def render_sweep_sharded(
                                        float(t))
             for fv, t in zip(fovs, tilts)
         ]).astype(np.float32)  # [F, H]
-        elev_deg = elev_frames[0]
+        elev_deg = None  # per-frame grids; the replicated [H] row is unused
     if fovs_deg is None:
         az_rel = camera.fast_ray_azimuths(out.width, out.height, frame.fov, 0.0)
         az_frames = dirs[:, None] + az_rel[None, :].astype(np.float32)  # [F, W]
@@ -198,8 +198,8 @@ def render_sweep_sharded(
             for d, fv in zip(dirs, fovs)
         ]).astype(np.float32)  # [F, W]
 
-    lat_rng, lon_rng = fast_mod.terrain_bbox(params)
-    # widen the bbox: a sweep looks in every direction
+    # sweep bbox: a sweep looks in every direction (not terrain_bbox's
+    # forward cone)
     d_deg = frame.max_distance / 90_000.0 + 0.1
     lat_rng = (pos.latitude - d_deg, pos.latitude + d_deg)
     coslat = max(0.2, math.cos(math.radians(pos.latitude)))
@@ -484,9 +484,7 @@ def render_rectilinear_sharded(
     elev_rad, dir_rad = camera.rectilinear_ray_params(
         out.width, out.height, frame.fov, frame.tilt, frame.direction
     )
-    x = (np.arange(w) - w // 2).astype(np.float64)
-    z = w / 2.0 / np.tan(np.deg2rad(frame.fov) / 2.0)
-    az_col = frame.direction + np.rad2deg(np.arctan2(x, z))
+    az_col = camera.rectilinear_column_azimuths(w, frame.fov, frame.direction)
 
     lat_rng, lon_rng = fast_mod.terrain_bbox(params)
     pack = terrain.pack(lat_rng, lon_rng)

@@ -143,3 +143,56 @@ def test_progress_percent_lines(setup):
     assert seen, "no progress reported"
     assert max(seen) == 100
     assert all(0 <= p <= 100 for p in seen)
+
+
+def test_due_south_seam_grid_is_narrow(setup):
+    """A view straddling the ±180° atan2 seam must NOT make the snapped grid
+    span the whole circle: pixel directions are unwrapped about the camera
+    (the reference's HashMap is sparse so it never noticed; a dense grid
+    explodes ~20× in azimuth columns and can exhaust device memory)."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.interpolating import (
+        _camera_grids,
+        render_interpolating,
+    )
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+
+    config, terrain, params = setup
+    d = config.to_dict()
+    d["view"]["frame"]["direction"] = 180.0  # due south: seam in view
+    params_s = Config.from_dict(d).into_params(terrain)
+    out, frame = params_s.output, params_s.view.frame
+
+    *_, grid_az_deg, _e, _a = _camera_grids(
+        out.width, out.height, float(frame.fov), float(frame.tilt),
+        float(frame.direction),
+    )
+    # narrow: proportional to the fov (plus snapping slack), nowhere near 360°
+    span = float(grid_az_deg.max() - grid_az_deg.min())
+    assert span < 3.0 * frame.fov, span
+
+    interp = render_interpolating(params_s, terrain)
+    rect = render_rectilinear(params_s, terrain, chunk_rows=14)
+    agree = (interp.hits.valid.any(-1)) == (rect.hits.valid.any(-1))
+    assert agree.mean() > 0.93, agree.mean()
+    both = interp.hits.valid[..., 0] & rect.hits.valid[..., 0]
+    assert both.any()
+    dd = np.abs(interp.hits.distance[..., 0] - rect.hits.distance[..., 0])[both]
+    assert np.median(dd) < 150.0
+
+
+def test_key_is_march_position(setup):
+    """HitBuffer.key must honor the base.py contract (march position
+    k + prop, distance ≈ key·step) — meta/pack derives staged viewer
+    distances from it (a slot-rank key corrupts them silently)."""
+    from atm_raytracer_tpu.generators.interpolating import render_interpolating
+
+    config, terrain, params = setup
+    r = render_interpolating(params, terrain)
+    valid = np.asarray(r.hits.valid)
+    key = np.asarray(r.hits.key)
+    dist = np.asarray(r.hits.distance)
+    assert valid.any()
+    err = np.abs(key[valid] * params.simulation_step - dist[valid])
+    assert np.max(err) < 1.0, np.max(err)  # f32 rounding only
+    assert np.isinf(key[~valid]).all()

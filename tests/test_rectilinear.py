@@ -371,3 +371,51 @@ def test_fetch_image_false_matches_fetched(setup):
         assert not isinstance(r.image, np.ndarray), render.__name__
         flat = fetch_flat(r.image)[: h * w * 3].reshape(h, w, 3)
         np.testing.assert_array_equal(fetched, flat, err_msg=render.__name__)
+
+
+def test_short_march_below_one_coarse_window(tmp_path):
+    """max_distance shorter than one coarse RK4 window (n_seg < coarse): the
+    scans clamp the window size internally, so the fused paths' post-scan
+    re-expansion and window bookkeeping must clamp identically — regression
+    for the k==1 exact re-test rejecting crossings the scan found."""
+    import numpy as np_
+
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.terrain.store import Terrain, Tile
+
+    terrain = Terrain()
+    terrain.add_tile(Tile(
+        lat0=49, lon0=21, elev=np_.zeros((121, 121), np_.int16)
+    ))
+    d = {
+        "view": {
+            "position": {
+                "latitude": 49.5, "longitude": 21.5,
+                "altitude": {"Absolute": 60.0},
+            },
+            # tall fov: bottom rays plunge into the sea-level plane within a
+            # few 50 m steps; 500 m => n_seg = 9 < coarse = 16
+            "frame": {"direction": 45.0, "fov": 140.0, "max_distance": 500.0},
+        },
+        "simulation_step": 50.0,
+        "output": {"width": 16, "height": 21},
+    }
+    params = Config.from_dict(d).into_params(terrain)
+    r1 = render_rectilinear(params, terrain, max_hits=1)  # k==1 fused path
+    v1 = np_.asarray(r1.hits.valid)[..., 0]
+    assert v1.any(), "steep rays must hit inside the short march"
+    # the k>1 consumer never re-expands; its slot 0 is the oracle
+    r2 = render_rectilinear(params, terrain, max_hits=2)
+    v2 = np_.asarray(r2.hits.valid)[..., 0]
+    np_.testing.assert_array_equal(v1, v2)
+    both = v1 & v2
+    np_.testing.assert_allclose(
+        np_.asarray(r1.hits.key)[..., 0][both],
+        np_.asarray(r2.hits.key)[..., 0][both], rtol=1e-6,
+    )
+    # tilted short march exercises the culled path's clamped blocks
+    d["view"]["frame"]["tilt"] = -2.0
+    params_t = Config.from_dict(d).into_params(terrain)
+    rt = render_rectilinear(params_t, terrain, max_hits=1)
+    assert np_.asarray(rt.hits.valid).any()
