@@ -48,8 +48,13 @@ def terrain_bbox(params: Params) -> Tuple[Tuple[float, float], Tuple[float, floa
     # conservative meters-per-degree lower bound 90 km (covers flat models'
     # 111.1 km and high-latitude longitude shrink)
     d_deg = params.view.frame.max_distance / 90_000.0 + 0.1
-    coslat = max(0.2, math.cos(math.radians(lat0)))
-    return (lat0 - d_deg, lat0 + d_deg), (lon0 - d_deg / coslat, lon0 + d_deg / coslat)
+    # longitude shrink at the MOST POLEWARD latitude the render can reach
+    # (a fixed clamp under-sized the box past ~78° and tiles silently fell
+    # back to elevation 0); past ~89.4° cover all longitudes
+    lat_pole = min(abs(lat0) + d_deg, 90.0)
+    coslat = max(0.01, math.cos(math.radians(lat_pole)))
+    d_lon = min(d_deg / coslat, 180.0)
+    return (lat0 - d_deg, lat0 + d_deg), (lon0 - d_lon, lon0 + d_lon)
 
 
 _table_cache: dict = {}
@@ -66,7 +71,7 @@ import weakref
 _objects_cache: dict = {}
 
 
-def build_objects_cached(params, terrain, az_deg, n_terr: int):
+def build_objects_cached(params, az_deg, n_terr: int):
     """(ObjectSet, col_windows) for params, memoized per Params + az grid."""
     if not params.objects:
         return None, None
@@ -77,7 +82,7 @@ def build_objects_cached(params, terrain, az_deg, n_terr: int):
             "ref": weakref.ref(
                 params, lambda r, k=pid: _objects_cache.pop(k, None)
             ),
-            "set": ObjectSet.build(params, terrain),
+            "set": ObjectSet.build(params),
             "wins": {},
         }
         _objects_cache[pid] = entry
@@ -116,8 +121,10 @@ def build_refraction_table(params: Params, alt0: float) -> RefractionTable:
             params.atmosphere, params.wavelength, h_lo=-2000.0, h_hi=h_hi,
             dh=1.0,
         )
-        if len(_table_cache) > 16:  # bound device-resident tables
-            _table_cache.clear()
+        while len(_table_cache) > 16:  # bound device-resident tables:
+            # evict oldest (insertion order), not clear() — clearing would
+            # defeat the memo exactly for multi-config sweep sessions
+            _table_cache.pop(next(iter(_table_cache)))
         _table_cache[key] = cached
     return cached
 
@@ -458,7 +465,7 @@ def render_fast(params: Params, terrain: Terrain,
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
 
-    objset, obj_windows = build_objects_cached(params, terrain, az_deg, n_terr)
+    objset, obj_windows = build_objects_cached(params, az_deg, n_terr)
 
     from .base import callbacks_supported, set_progress_sink
 

@@ -508,7 +508,7 @@ def render_interpolating(
     from .fast import build_objects_cached
 
     objset, obj_windows = build_objects_cached(
-        params, terrain, grid_az_deg, n_terr
+        params, grid_az_deg, n_terr
     )
 
     grid_elev_dev = jnp.asarray(grid_elev_deg, jnp.float32)

@@ -971,7 +971,7 @@ def render_rectilinear(
     n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
-    objset = ObjectSet.build(params, terrain) if params.objects else None
+    objset = ObjectSet.build(params) if params.objects else None
     h, w = out.height, out.width
 
     static_kwargs = dict(

@@ -39,6 +39,7 @@ import numpy as np
 
 from ..models.earth import EarthModel
 from .combine import NO_HIT
+from ..physics.ray import DEATH_ALTITUDE
 from ..generators.base import HitBuffer
 
 
@@ -104,7 +105,7 @@ class ObjectSet:
                    kinds_static=aux[2], host_meta=aux[3])
 
     @staticmethod
-    def build(params, terrain) -> Optional["ObjectSet"]:
+    def build(params) -> Optional["ObjectSet"]:
         objs = params.objects
         if not objs:
             return None
@@ -156,9 +157,21 @@ class ObjectSet:
             atlas = np.zeros((1, 2, 2, 4), np.float32)
             tex_hw = np.ones((1, 2), np.float32) * 2
         # window of march segments covering the culling chord: the close
-        # region along a ray is at most 2·cull_radius long
+        # region along a ray is at most 2·cull_radius long. The cap only
+        # bounds candidate-tensor memory for pathological giants (>12 km
+        # culling radius at 50 m steps); within it the window always covers
+        # the full chord — the reference tests every close segment
+        # (utils.rs:241-250) and a short window would silently drop hits.
         max_chord = 2.0 * math.sqrt(float(cull_r2.max()))
-        seg_window = int(min(64, max(4, math.ceil(max_chord / step) + 3)))
+        want = max(4, math.ceil(max_chord / step) + 3)
+        seg_window = int(min(512, want))
+        if want > seg_window:
+            print(
+                f"WARNING: object culling window truncated to {seg_window} "
+                f"of {want} march steps — intersections beyond "
+                f"{seg_window * step:.0f} m into the culling region of the "
+                "largest object will be missed"
+            )
         host_meta = tuple(
             (float(o.lat), float(o.lon), float(o.elev),
              float(math.sqrt(cull_r2[i])))
@@ -379,7 +392,7 @@ def _object_window_planes(
     dlat: jnp.ndarray,  # [Wo, N] terrain-cache geodesic (column window)
     dlon: jnp.ndarray,  # [Wo, N]
     k_per_object: int,
-) -> HitBuffer:
+) -> dict:
     """One object's hits over its column window of the separable grid.
 
     Finds per column the first march step inside the culling radius
@@ -436,6 +449,15 @@ def _object_window_planes(
     # segment eligible if either end close (utils.rs:241-250)
     seg_close = g_close[..., :-1] | g_close[..., 1:]  # [Wo, kw]
     seg_k = (k_idx[:, :-1]).astype(jnp.float32)  # [Wo, kw] global seg idx
+    # ray-death rule (utils.rs:159-171): the path cache ends one element
+    # after the first sub--1000 m sample, so objects past that point are
+    # never tested — segment k participates iff k <= first-death index
+    # (exactly combine.ray_alive_mask's prefix semantics)
+    dead_r = ray_h < jnp.float32(DEATH_ALTITUDE)  # [H, N]
+    death_idx = jnp.where(
+        dead_r.any(1), jnp.argmax(dead_r, 1), n_path
+    ).astype(jnp.float32)  # [H]
+    seg_alive = seg_k[None, :, :] <= death_idx[:, None, None]  # [H, Wo, kw]
 
     is_frustum = objects.kinds_static[oi] == 0
     if is_frustum:
@@ -457,7 +479,7 @@ def _object_window_planes(
         valid = ok[..., None]
         rgba = rgba1[..., None, :]
 
-    valid = valid & seg_close[None, :, :, None]
+    valid = valid & (seg_close[None, :, :] & seg_alive)[..., None]
     # skip fully transparent texels (utils.rs:258-259)
     valid = valid & (rgba[..., 3] > 0.0)
     keys = jnp.where(
@@ -703,15 +725,21 @@ def object_hits_pixelwise(
     # both sides plus the close-region chord
     kw = objects.seg_window + 2 * stride + 2
     dir_col = dir_deg[:, None]
+    # object-independent coarse-scan geodesic: one evaluation for the scene
+    n_coarse = -(-n_terr // stride)
+    dists_c = (jnp.arange(n_coarse, dtype=jnp.float32) * stride) * step
+    dl_c, dn_c = model.geodesic_delta(lat0, lon0, dir_col, dists_c[None, :])
+    # ray-death rule, as in _object_window_planes
+    dead_r = ray_h < jnp.float32(DEATH_ALTITUDE)  # [P, n_terr]
+    death_idx = jnp.where(
+        dead_r.any(1), jnp.argmax(dead_r, 1), n_path
+    ).astype(jnp.float32)  # [P]
 
     parts = []
     for oi in range(objects.n_objects):
         o_dlat = objects.dlat[oi]
         o_dlon = objects.dlon[oi]
         o_elev = objects.elev[oi]
-        n_coarse = -(-n_terr // stride)
-        dists_c = (jnp.arange(n_coarse, dtype=jnp.float32) * stride) * step
-        dl_c, dn_c = model.geodesic_delta(lat0, lon0, dir_col, dists_c[None, :])
         rel_c = model.enu_rel(
             dl_c, dn_c, jnp.broadcast_to(o_elev, dl_c.shape),
             o_dlat, o_dlon, o_elev, lat0,
@@ -722,7 +750,7 @@ def object_hits_pixelwise(
         close_c = d2_c < (jnp.sqrt(objects.cull_r2[oi]) + margin) ** 2
         any_close = close_c.any(axis=1)
         first_c = jnp.where(any_close, jnp.argmax(close_c, axis=1), n_coarse)
-        k_lo = jnp.clip(first_c * stride - stride - 1, 0, max(n_terr - kw - 2, 0))
+        k_lo = jnp.clip(first_c * stride - stride - 1, 0, max(n_terr - kw - 1, 0))
 
         offs = jnp.arange(kw + 1)
         k_idx = jnp.minimum(k_lo[:, None] + offs[None, :], n_terr - 1)  # [P, kw+1]
@@ -762,7 +790,8 @@ def object_hits_pixelwise(
             valid = ok[..., None]
             rgba = rgba1[..., None, :]
 
-        valid = valid & seg_close[..., None] & (rgba[..., 3] > 0.0)
+        seg_alive = seg_k <= death_idx[:, None]  # [P, kw]
+        valid = valid & (seg_close & seg_alive)[..., None] & (rgba[..., 3] > 0.0)
         keys = jnp.where(
             valid, seg_k[..., None] + jnp.clip(props, 0.0, 0.999999), NO_HIT
         ).reshape(p_n, -1)

@@ -79,7 +79,7 @@ def render_fast_sharded(
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
     objset, obj_windows = fast_mod.build_objects_cached(
-        params, terrain, az_padded, n_terr
+        params, az_padded, n_terr
     )
 
     col_sharding = NamedSharding(mesh, P(axis))
@@ -239,7 +239,7 @@ def render_sweep_sharded(
     n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
-    objset = ObjectSet.build(params, terrain) if params.objects else None
+    objset = ObjectSet.build(params) if params.objects else None
 
     # per-frame light vector: the Shading light direction is anchored to the
     # view direction (params.rs:252-258), so each sweep frame gets its own.
@@ -388,7 +388,7 @@ def render_rectilinear_pixelwise_sharded(
     n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
     if max_hits is None:
         max_hits = 1 if params.terrain_alpha >= 1.0 else 4
-    objset = ObjectSet.build(params, terrain) if params.objects else None
+    objset = ObjectSet.build(params) if params.objects else None
 
     statics = dict(
         model=params.model,

@@ -298,18 +298,10 @@ def rk4_window(h, v, plen, step, coarse, table, straight, radius):
     """
     dx = jnp.float32(step * coarse)
     dxf = jnp.float32(step)
-    t = (jnp.arange(coarse + 1, dtype=jnp.float32) / jnp.float32(coarse))[None, :]
-    t2 = t * t
-    t3 = t2 * t
-    b00 = 2.0 * t3 - 3.0 * t2 + 1.0
-    b10 = t3 - 2.0 * t2 + t
-    b01 = -2.0 * t3 + 3.0 * t2
-    b11 = t3 - t2
     h1, v1 = _rk4_step(h, v, dx, table, radius, straight)
-    h_f = (
-        b00 * h[:, None] + b10 * (v * dx)[:, None]
-        + b01 * h1[:, None] + b11 * (v1 * dx)[:, None]
-    )  # [B, C+1]
+    # the ONE Hermite dense-output implementation (bitwise contract: callers
+    # re-expand captured windows via either entry point)
+    h_f = hermite_window(h, v, h1, v1, dx, coarse)  # [B, C+1]
     dh = h_f[:, 1:] - h_f[:, :-1]
     if radius is None:
         seg_len = jnp.sqrt(dxf * dxf + dh * dh)

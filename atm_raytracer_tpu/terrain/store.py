@@ -296,10 +296,15 @@ class Terrain:
             }[side].astype(np.float32)
 
         def _jump(ea, eb):
-            n = max(len(ea), len(eb))
-            xs = np.linspace(0.0, 1.0, n)
-            da = np.interp(xs, np.linspace(0.0, 1.0, len(ea)), ea)
-            db = np.interp(xs, np.linspace(0.0, 1.0, len(eb)), eb)
+            # the max |difference| of two piecewise-linear edges is attained
+            # at a breakpoint of EITHER edge — sampling only the finer grid
+            # misses extrema at the coarser edge's own posts and would
+            # under-estimate this (required-conservative) envelope slack
+            xa = np.linspace(0.0, 1.0, len(ea))
+            xb = np.linspace(0.0, 1.0, len(eb))
+            xs = np.union1d(xa, xb)
+            da = np.interp(xs, xa, ea)
+            db = np.interp(xs, xb, eb)
             return float(np.abs(da - db).max(initial=0.0))
 
         req_lat = range(int(math.floor(lat_range[0])), int(math.floor(lat_range[1])) + 1)

@@ -241,3 +241,69 @@ def test_object_on_earth_models(tmp_path, terrain_dir):
         )
         result = render_fast(params, terrain)
         assert (result.hits.valid & (result.hits.kind == 1)).any(), shape
+
+
+def test_objects_not_hit_after_ray_death():
+    """The reference's path cache ends one element after the first
+    sub--1000 m sample (utils.rs:159-171), so objects beyond a ray's death
+    point are never tested — an object before the death point still is.
+    Covers both the separable (Fast) and per-pixel (Rectilinear) paths."""
+    import numpy as np_
+
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.terrain.store import Terrain, Tile
+
+    terrain = Terrain()
+    terrain.add_tile(Tile(
+        lat0=49, lon0=21, elev=np_.full((121, 121), -3000, np_.int16)
+    ))
+    m_per_deg = 111_194.9
+
+    def obj(dist_m, base_elev):
+        return {
+            "position": {
+                "latitude": 49.5 + dist_m / m_per_deg,
+                "longitude": 21.5,
+                "altitude": {"Absolute": base_elev},
+            },
+            "color": {"r": 1.0, "g": 0.0, "b": 0.0, "a": 1.0},
+            "shape": {"Cylinder": {"radius": 300.0, "height": 700.0}},
+        }
+
+    d = {
+        "scene": {
+            # terrain far below everything: rays die at -1000 m mid-march.
+            # A ~-45° ray from 100 m passes -1000 m at ~1.1 km (death) and
+            # -2000 m at ~2.1 km: the near object straddles the pre-death
+            # segment, the far one is reachable only after death.
+            "objects": [obj(900.0, -1200.0), obj(2100.0, -2400.0)],
+            "terrain_alpha": 1.0,
+        },
+        "view": {
+            "position": {"latitude": 49.5, "longitude": 21.5,
+                         "altitude": {"Absolute": 100.0}},
+            "frame": {"direction": 0.0, "fov": 120.0, "max_distance": 6000.0},
+        },
+        "simulation_step": 50.0,
+        "output": {"width": 24, "height": 33},
+    }
+    params = Config.from_dict(d).into_params(terrain)
+
+    for render, kwargs in (
+        (render_fast, {}),
+        (render_rectilinear, {"chunk_rows": 16}),
+    ):
+        r = render(params, terrain, **kwargs)
+        valid = np_.asarray(r.hits.valid)
+        kind = np_.asarray(r.hits.kind)
+        dist = np_.asarray(r.hits.distance)
+        objhit = valid & (kind == 1)
+        assert objhit.any(), f"{render.__name__}: pre-death object must be hit"
+        # no object hit beyond the death point + one segment (~1.15 km here;
+        # use the far object's distance band as the assertion)
+        assert not (objhit & (dist > 1800.0)).any(), (
+            f"{render.__name__}: object beyond ray death was hit at "
+            f"{dist[objhit & (dist > 1800.0)]}"
+        )
