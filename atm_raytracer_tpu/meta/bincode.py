@@ -262,26 +262,84 @@ def _read_output(r: _Reader) -> dict:
 
 # -- result ------------------------------------------------------------------
 
+# ResultPixel header: elevation_angle f64, azimuth f64, Vec len u64
+# (generators/mod.rs:14-19 under bincode 1.x fixed-int encoding).
+_HDR_DT = np.dtype([("elev", "<f8"), ("az", "<f8"), ("n", "<u8")])
+
+
+def _tp1_terrain_dtype(prefixed: bool) -> np.dtype:
+    """Pixel record for the dominant terrain case: header + exactly one
+    TracePoint carrying PixelColor::Terrain(f64) (generators/mod.rs:21-48)."""
+    fields = [("elev", "<f8"), ("az", "<f8"), ("n", "<u8"),
+              ("lat", "<f8"), ("lon", "<f8"), ("dist", "<f8"),
+              ("el", "<f8"), ("plen", "<f8")]
+    if prefixed:
+        fields.append(("v3len", "<u8"))
+    fields += [("nx", "<f8"), ("ny", "<f8"), ("nz", "<f8"),
+               ("ctag", "<u4"), ("alpha", "<f8")]
+    return np.dtype(fields)
+
 
 def _read_result(r: _Reader, height: int, width: int):
-    """Vec<Vec<ResultPixel>> → (elev [H,W], az [H,W], HitBuffer arrays).
+    """Vec<Vec<ResultPixel>> → (elev [H,W], az [H,W], runs, scalars).
 
-    Trace points become K fixed slots (K = max per-pixel count, ≥1) with
-    validity masks — the same shape generators.base.HitBuffer uses.
+    A 1080p artifact is ~2M pixels; per-pixel struct.unpack loops take
+    minutes of interpreted Python on a 1-core host. The two dominant pixel
+    shapes — sky (0 trace points) and single-terrain-hit — are instead
+    parsed as vectorized RUNS: interpret the remaining row optimistically
+    as consecutive fixed-size records via np.frombuffer, accept the longest
+    prefix whose self-describing fields (trace len, color tag, vec3 prefix)
+    match, and fall back to the scalar parser for the first mismatching
+    pixel. Returns ``runs`` = [(i, j0, record-array)] single-terrain spans
+    and ``scalars`` = [(i, j, [trace tuples])] for everything else.
     """
     h = r.u64()
     if h != height:
         raise BincodeError(f"result rows {h} != height {height}")
     elev = np.zeros((height, width), np.float64)
     az = np.zeros((height, width), np.float64)
-    # pass 1: collect per-pixel trace lists (python floats; file is f64)
-    rows: List[List[List[tuple]]] = []
+    d = r.d
+    runs: List[tuple] = []
+    scalars: List[tuple] = []
     for i in range(height):
         w = r.u64()
         if w != width:
             raise BincodeError(f"result row {i} cols {w} != width {width}")
-        row = []
-        for j in range(width):
+        j = 0
+        while j < width:
+            o = r.p
+            rem = width - j
+            # run of sky pixels (n_tp == 0): bare 24-byte headers
+            m0 = min(rem, max(0, (len(d) - o) // _HDR_DT.itemsize))
+            if m0 > 0:
+                hdr = np.frombuffer(d, dtype=_HDR_DT, count=m0, offset=o)
+                nz = np.flatnonzero(hdr["n"])
+                q = int(nz[0]) if nz.size else m0
+                if q > 0:
+                    elev[i, j:j + q] = hdr["elev"][:q]
+                    az[i, j:j + q] = hdr["az"][:q]
+                    r.p = o + q * _HDR_DT.itemsize
+                    j += q
+                    continue
+            # run of single-terrain-hit pixels (n_tp == 1, Terrain color)
+            if r.vec3_prefixed is not None:
+                dt1 = _tp1_terrain_dtype(r.vec3_prefixed)
+                m1 = min(rem, max(0, (len(d) - o) // dt1.itemsize))
+                if m1 > 0:
+                    rec = np.frombuffer(d, dtype=dt1, count=m1, offset=o)
+                    ok = (rec["n"] == 1) & (rec["ctag"] == 0)
+                    if r.vec3_prefixed:
+                        ok &= rec["v3len"] == 3
+                    bad = np.flatnonzero(~ok)
+                    q = int(bad[0]) if bad.size else m1
+                    if q > 0:
+                        elev[i, j:j + q] = rec["elev"][:q]
+                        az[i, j:j + q] = rec["az"][:q]
+                        runs.append((i, j, rec[:q]))
+                        r.p = o + q * dt1.itemsize
+                        j += q
+                        continue
+            # scalar fallback: one pixel, arbitrary trace points
             elev[i, j] = r.f64()
             az[i, j] = r.f64()
             n_tp = r.u64()
@@ -302,41 +360,55 @@ def _read_result(r: _Reader, height: int, width: int):
                     c = _read_color(r)
                     kind, rgba = 1, (c["r"], c["g"], c["b"], c["a"])
                 tps.append((lat, lon, dist, el, plen, normal, kind, rgba))
-            row.append(tps)
-        rows.append(row)
-    return elev, az, rows
+            if tps:
+                scalars.append((i, j, tps))
+            j += 1
+    return elev, az, runs, scalars
 
 
-def _rows_to_hitbuffer(rows, lat0: float, lon0: float):
+def _build_hitbuffer(height, width, runs, scalars, lat0, lon0, step):
     from ..generators.base import HitBuffer
 
-    height = len(rows)
-    width = len(rows[0]) if rows else 0
-    k = max(
-        (len(tps) for row in rows for tps in row), default=0
-    )
+    k = max((len(tps) for _, _, tps in scalars), default=0)
+    if runs:
+        k = max(k, 1)
     k = max(k, 1)
     shape = (height, width, k)
     valid = np.zeros(shape, bool)
     f = {n: np.zeros(shape, np.float32) for n in
-         ("key", "dlat", "dlon", "distance", "elevation", "path_length")}
+         ("dlat", "dlon", "distance", "elevation", "path_length")}
     normal = np.zeros(shape + (3,), np.float32)
     kind = np.zeros(shape, np.int32)
     rgba = np.zeros(shape + (4,), np.float32)
-    for i, row in enumerate(rows):
-        for j, tps in enumerate(row):
-            for s, (lat, lon, dist, el, plen, nrm, kd, col) in enumerate(tps):
-                valid[i, j, s] = True
-                f["key"][i, j, s] = s + 1
-                f["dlat"][i, j, s] = lat - lat0
-                f["dlon"][i, j, s] = lon - lon0
-                f["distance"][i, j, s] = dist
-                f["elevation"][i, j, s] = el
-                f["path_length"][i, j, s] = plen
-                normal[i, j, s] = nrm
-                kind[i, j, s] = kd
-                rgba[i, j, s] = col
-    key = np.where(valid, f["key"], np.inf).astype(np.float32)
+    for i, j0, rec in runs:
+        sl = (i, slice(j0, j0 + len(rec)), 0)
+        valid[sl] = True
+        f["dlat"][sl] = rec["lat"] - lat0
+        f["dlon"][sl] = rec["lon"] - lon0
+        f["distance"][sl] = rec["dist"]
+        f["elevation"][sl] = rec["el"]
+        f["path_length"][sl] = rec["plen"]
+        normal[i, j0:j0 + len(rec), 0, 0] = rec["nx"]
+        normal[i, j0:j0 + len(rec), 0, 1] = rec["ny"]
+        normal[i, j0:j0 + len(rec), 0, 2] = rec["nz"]
+        rgba[i, j0:j0 + len(rec), 0, 3] = rec["alpha"]
+    for i, j, tps in scalars:
+        for s, (lat, lon, dist, el, plen, nrm, kd, col) in enumerate(tps):
+            valid[i, j, s] = True
+            f["dlat"][i, j, s] = lat - lat0
+            f["dlon"][i, j, s] = lon - lon0
+            f["distance"][i, j, s] = dist
+            f["elevation"][i, j, s] = el
+            f["path_length"][i, j, s] = plen
+            normal[i, j, s] = nrm
+            kind[i, j, s] = kd
+            rgba[i, j, s] = col
+    # HitBuffer contract (generators/base.py): key is the march sort
+    # position with distance = key·step; reconstruct it from the stored
+    # distance so pack/merge consumers see consistent keys.
+    key = np.where(
+        valid, f["distance"] / np.float32(step), np.inf
+    ).astype(np.float32)
     return HitBuffer(
         valid=valid, key=key, dlat=f["dlat"], dlon=f["dlon"],
         distance=f["distance"], elevation=f["elevation"],
@@ -402,13 +474,18 @@ def decode_alldata(blob: bytes):
     env_raw = data[env_start:o - 9]
     rr = _Reader(data, result_pos)
     rr.vec3_prefixed = r.vec3_prefixed
-    elev, az, rows = _read_result(rr, output["height"], output["width"])
+    elev, az, runs, scalars = _read_result(
+        rr, output["height"], output["width"]
+    )
     if rr.p != len(data):
         raise BincodeError(
             f"trailing bytes: parsed to {rr.p} of {len(data)}"
         )
     pos = view["position"]
-    hits = _rows_to_hitbuffer(rows, pos["latitude"], pos["longitude"])
+    hits = _build_hitbuffer(
+        output["height"], output["width"], runs, scalars,
+        pos["latitude"], pos["longitude"], step,
+    )
     params = {
         "scene": scene,
         "view": view,
@@ -576,27 +653,74 @@ def encode_alldata(params: dict, elev, az, hits, *, vec3_prefixed=False,
     lon0 = view["position"]["longitude"]
     dlat = np.asarray(hits.dlat, np.float64)
     dlon = np.asarray(hits.dlon, np.float64)
+    elev_a = np.asarray(elev, np.float64).reshape(height, width)
+    az_a = np.asarray(az, np.float64).reshape(height, width)
+    dist_a = np.asarray(hits.distance, np.float64)
+    el_a = np.asarray(hits.elevation, np.float64)
+    plen_a = np.asarray(hits.path_length, np.float64)
+    nrm_a = np.asarray(hits.normal, np.float64)
+    kind_a = np.asarray(hits.kind)
+    rgba_a = np.asarray(hits.rgba, np.float64)
+    # Mirror the decoder's run vectorization: sky pixels and
+    # single-terrain-hit pixels are bulk-encoded as structured arrays
+    # (bit-identical bytes to the scalar writer); everything else falls
+    # back to the per-pixel path.
+    counts = valid.sum(axis=-1)
+    cls1 = (counts == 1) & valid[:, :, 0] & (kind_a[:, :, 0] == 0)
+    clsid = np.where(counts == 0, 0, np.where(cls1, 1, 2)).astype(np.int8)
+    dt1 = _tp1_terrain_dtype(vec3_prefixed)
     w.u64(height)
     for i in range(height):
         w.u64(width)
-        for j in range(width):
-            w.f64(elev[i][j])
-            w.f64(az[i][j])
-            slots = np.nonzero(valid[i, j])[0]
-            w.u64(len(slots))
-            for s in slots:
-                w.f64(lat0 + dlat[i, j, s])
-                w.f64(lon0 + dlon[i, j, s])
-                w.f64(hits.distance[i, j, s])
-                w.f64(hits.elevation[i, j, s])
-                w.f64(hits.path_length[i, j, s])
-                w.vector3(np.asarray(hits.normal[i, j, s], np.float64))
-                if int(hits.kind[i, j, s]) == 0:
-                    w.u32(0)
-                    w.f64(hits.rgba[i, j, s, 3])
-                else:
-                    w.u32(1)
-                    for c in range(4):
-                        w.f64(hits.rgba[i, j, s, c])
+        row_cls = clsid[i]
+        bounds = np.flatnonzero(np.diff(row_cls)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [width]))
+        for a, b in zip(starts, ends):
+            c = int(row_cls[a])
+            if c == 0:
+                rec = np.empty(b - a, _HDR_DT)
+                rec["elev"] = elev_a[i, a:b]
+                rec["az"] = az_a[i, a:b]
+                rec["n"] = 0
+                w.b += rec.tobytes()
+            elif c == 1:
+                rec = np.empty(b - a, dt1)
+                rec["elev"] = elev_a[i, a:b]
+                rec["az"] = az_a[i, a:b]
+                rec["n"] = 1
+                rec["lat"] = lat0 + dlat[i, a:b, 0]
+                rec["lon"] = lon0 + dlon[i, a:b, 0]
+                rec["dist"] = dist_a[i, a:b, 0]
+                rec["el"] = el_a[i, a:b, 0]
+                rec["plen"] = plen_a[i, a:b, 0]
+                if vec3_prefixed:
+                    rec["v3len"] = 3
+                rec["nx"] = nrm_a[i, a:b, 0, 0]
+                rec["ny"] = nrm_a[i, a:b, 0, 1]
+                rec["nz"] = nrm_a[i, a:b, 0, 2]
+                rec["ctag"] = 0
+                rec["alpha"] = rgba_a[i, a:b, 0, 3]
+                w.b += rec.tobytes()
+            else:
+                for j in range(a, b):
+                    w.f64(elev_a[i, j])
+                    w.f64(az_a[i, j])
+                    slots = np.nonzero(valid[i, j])[0]
+                    w.u64(len(slots))
+                    for s in slots:
+                        w.f64(lat0 + dlat[i, j, s])
+                        w.f64(lon0 + dlon[i, j, s])
+                        w.f64(dist_a[i, j, s])
+                        w.f64(el_a[i, j, s])
+                        w.f64(plen_a[i, j, s])
+                        w.vector3(nrm_a[i, j, s])
+                        if int(kind_a[i, j, s]) == 0:
+                            w.u32(0)
+                            w.f64(rgba_a[i, j, s, 3])
+                        else:
+                            w.u32(1)
+                            for cch in range(4):
+                                w.f64(rgba_a[i, j, s, cch])
     raw = bytes(w.b)
     return gzip.compress(raw) if compress else raw

@@ -83,6 +83,12 @@ class EarthModel:
             if kind == "Spherical":
                 return EarthModel(kind="Spherical", radius=float(body["radius"]))
             if kind == "ObserverAe":
+                # The reference's serde field is `proj_radius` (mod.rs:26);
+                # its README documents `projection_radius` (README.md:189).
+                # Accept both so real reference configs AND README-derived
+                # ones load.
+                if "proj_radius" in body:
+                    return EarthModel(kind="ObserverAe", radius=float(body["proj_radius"]))
                 return EarthModel(
                     kind="ObserverAe", radius=float(body["projection_radius"])
                 )
@@ -94,7 +100,8 @@ class EarthModel:
         if self.kind == "Spherical":
             return {"Spherical": {"radius": self.radius}}
         if self.kind == "ObserverAe":
-            return {"ObserverAe": {"projection_radius": self.radius}}
+            # Emit the reference binary's serde spelling (mod.rs:26).
+            return {"ObserverAe": {"proj_radius": self.radius}}
         if self.kind == "Ellipsoid":
             return {"Ellipsoid": {"a": self.a, "b": self.b}}
         return self.kind

@@ -99,11 +99,6 @@ def merge_sorted_k(a: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
     return seq[..., :k]
 
 
-def _merge_topk(keys_a: jnp.ndarray, keys_b: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Merge two ascending key lists into the K smallest (sort-free)."""
-    return merge_sorted_k(keys_a, keys_b, k)
-
-
 @functools.partial(jax.jit, static_argnames=("n_seg", "max_hits", "chunk"))
 def terrain_crossing_segments(
     ray_h: jnp.ndarray,

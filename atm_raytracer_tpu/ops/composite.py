@@ -52,21 +52,20 @@ def composite(
 
     a = jnp.where(valid, alpha, 0.0)
     k_slots = a.shape[-1]
+    # The reference's fold re-quantizes the running sum to the u8 grid after
+    # EVERY trace point: add() returns Rgb<u8> each step (renderer/mod.rs:
+    # 378-383,406,410 via vec3_to_rgb's `as u8` truncate-saturate,
+    # utils/mod.rs:24-29). Fold in u8-count space (integer-valued floats are
+    # exact) so multi-hit translucent pixels truncate at the same points.
+    # colors/def_color are already on the u8 grid (coloring quantizes all
+    # exits); round() recovers the exact integer counts.
+    colors255 = jnp.round(colors * 255.0)
+    def255 = jnp.round(def_color * 255.0)
     result = jnp.zeros(colors.shape[:-2] + (3,), jnp.float32)
     accum = jnp.ones(a.shape[:-1], jnp.float32)
     for i in range(k_slots):
-        result = result + colors[..., i, :] * (accum * a[..., i])[..., None]
+        step = colors255[..., i, :] * (accum * a[..., i])[..., None]
+        result = jnp.trunc(jnp.clip(result + step, 0.0, 255.0))
         accum = accum * (1.0 - a[..., i])
-    result = result + def_color * accum[..., None]
-    return jnp.clip(jnp.trunc(result * 255.0), 0.0, 255.0).astype(jnp.uint8)
-
-
-def mask_post_opaque(valid: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    """Drop hits after the first opaque one (metadata parity with the
-    reference's early exit, utils.rs:237-284)."""
-    opaque = valid & (alpha >= 1.0)
-    k = valid.shape[-1]
-    prior_opaque = jnp.cumsum(opaque.astype(jnp.int32), axis=-1) - opaque.astype(
-        jnp.int32
-    )
-    return valid & (prior_opaque == 0)
+    result = jnp.trunc(jnp.clip(result + def255 * accum[..., None], 0.0, 255.0))
+    return result.astype(jnp.uint8)

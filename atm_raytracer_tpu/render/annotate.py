@@ -79,11 +79,15 @@ def _elevation_to_y(elev: float, col_elev: np.ndarray) -> Optional[int]:
 def _expand_ticks(
     ticks: List[Tick], params: Params, vertical: bool
 ) -> List[Tuple[float, str, int, bool]]:
-    """→ [(angle, label, size, labelled)] (mod.rs:82-201).
+    """→ [(lookup_angle, label, size, labelled)] (mod.rs:82-201).
 
-    Multiple ticks enumerate bias + k·step across the frame's angular span;
-    labels show the wrapped angle ([0,360) azimuths mod.rs:118-124, [-90,90]
-    elevations mod.rs:179-185). Per-pixel dedupe happens in the caller.
+    Single ticks label the RAW configured angle (mod.rs:98,158 format the
+    config value directly — a Single at -5° is labelled "-5", not "355").
+    Multiple ticks enumerate bias + k·step across the frame's angular span
+    and label the wrapped angle ([0,360) azimuths mod.rs:118-124, [-90,90]
+    mirror-wrapped elevations mod.rs:179-185). The pixel lookup uses the
+    unwrapped azimuth (mod.rs:125) but the WRAPPED elevation (mod.rs:186).
+    Per-pixel dedupe happens in the caller.
     """
     frame = params.view.frame
     out = params.output
@@ -106,19 +110,23 @@ def _expand_ticks(
                 angles.append(cur)
                 cur += tick.step
         for ang in angles:
-            if vertical:
+            if tick.kind == "Single":
+                lookup, disp = ang, ang
+            elif vertical:
                 disp = ang
                 if disp < -90.0:
                     disp = -180.0 - disp
                 elif disp > 90.0:
                     disp = 180.0 - disp
+                lookup = disp  # mod.rs:186 — wrapped elevation drives the row
             else:
                 disp = ang
                 if disp < 0.0:
                     disp += 360.0
                 elif disp >= 360.0:
                     disp -= 360.0
-            items.append((ang, f"{disp:.{decimals}f}", tick.size, tick.labelled))
+                lookup = ang  # mod.rs:125 — unwrapped azimuth drives the column
+            items.append((lookup, f"{disp:.{decimals}f}", tick.size, tick.labelled))
     return items
 
 

@@ -150,3 +150,14 @@ def test_config_roundtrip():
     ):
         m = EarthModel.from_config(v)
         assert EarthModel.from_config(m.to_config()) == m
+
+
+def test_observer_ae_accepts_reference_serde_key():
+    """The reference binary's serde field is `proj_radius`
+    (utils/earth_model/mod.rs:26); its README documents `projection_radius`
+    (README.md:189). Both must parse, and to_config emits the binary's
+    spelling so emitted YAML round-trips through the reference too."""
+    m1 = EarthModel.from_config({"ObserverAe": {"proj_radius": 1.25e6}})
+    m2 = EarthModel.from_config({"ObserverAe": {"projection_radius": 1.25e6}})
+    assert m1 == m2 == EarthModel(kind="ObserverAe", radius=1.25e6)
+    assert m1.to_config() == {"ObserverAe": {"proj_radius": 1.25e6}}

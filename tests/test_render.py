@@ -234,3 +234,83 @@ def test_sky_colors_per_palette():
     leg = sky_color(ColoringParams(kind="Shading", palette="Legacy"))
     np.testing.assert_allclose(leg, np.trunc(np.array([0.11, 0.11, 0.11]) * 255) / 255)
     np.testing.assert_allclose(fog_color(), np.array([160, 160, 160]) / 255.0)
+
+
+def test_vertical_multiple_tick_wraps_past_90deg():
+    """A vertical Multiple tick enumerated past +90° is looked up by its
+    MIRROR-WRAPPED elevation (mod.rs:179-186): tilt 85°, step 7° enumerates
+    91°, which must land on the row showing 89° — the unwrapped lookup
+    finds no row and silently drops the tick."""
+    params = _params(
+        vertical_ticks=[{"Multiple": {"bias": 0.0, "step": 7.0, "size": 8,
+                                      "labelled": False}}],
+        width=200, height=100,
+    )
+    params.view.frame.tilt = 85.0
+    params.view.frame.fov = 40.0  # aspect 0.5 → vertical half-span 10°
+    w, h = 200, 100
+    az = np.linspace(80.05, 99.95, w)
+    el = np.linspace(89.9, 70.1, h)  # rows top→bottom; 91° wraps to 89°
+    out = annotate_image(np.zeros((h, w, 3), np.uint8), params, el, az, 100.0)
+    tick_rows = np.where((out[:, :8] == 255).all(-1).any(1))[0]
+    # enumerated ticks: 77, 84, 91→89 — three distinct rows, including one
+    # near the 89° row (index ~4-5)
+    assert len(tick_rows) == 3
+    assert tick_rows.min() <= 6
+
+
+def test_single_tick_label_uses_raw_angle():
+    """Single ticks format the RAW configured angle (mod.rs:98,158): a
+    Single at -5° is labelled \"-5\", not \"355\"; Multiple labels wrap."""
+    from atm_raytracer_tpu.render.annotate import _expand_ticks
+
+    params = _params(ticks=[{"Single": {"azimuth": -5.0, "size": 10,
+                                        "labelled": True}}])
+    items = _expand_ticks(params.output.ticks, params, vertical=False)
+    (lookup, label, _size, _labelled), = items
+    assert lookup == -5.0 and label == "-5"
+
+    params = _params(ticks=[{"Multiple": {"bias": 0.0, "step": 10.0,
+                                          "size": 10, "labelled": True}}])
+    params.view.frame.direction = 0.0  # span (-10, 10): enumerates -10, 0
+    items = _expand_ticks(params.output.ticks, params, vertical=False)
+    labels = {label for _, label, _, _ in items}
+    lookups = {lk for lk, _, _, _ in items}
+    assert "350" in labels  # -10 wrapped for display (mod.rs:118-124)
+    assert -10.0 in lookups  # but looked up unwrapped (mod.rs:125)
+
+
+def test_composite_requantizes_after_every_trace_point():
+    """The reference's fold returns Rgb<u8> after EVERY add
+    (renderer/mod.rs:378-383,406,410): with two translucent hits the
+    running sum truncates between adds. Emulate the Rust fold exactly in
+    f64 and require equality — an exact-accumulate-then-truncate-once fold
+    diverges by 1-2 u8 levels."""
+    p = ColoringParams(kind="Shading", water_level=-1000.0,
+                       light_dir=(0.0, 0.0, 1.0))
+    k = 2
+    valid = jnp.asarray([[True, True]])
+    alpha = jnp.asarray([[0.5, 0.75]], jnp.float32)
+    dist = jnp.zeros((1, k), jnp.float32)
+    elev = jnp.zeros((1, k), jnp.float32)
+    plen = jnp.zeros((1, k), jnp.float32)
+    normal = jnp.zeros((1, k, 3), jnp.float32).at[..., 2].set(1.0)
+    kind = jnp.ones((1, k), jnp.int32)  # Rgba objects: own color
+    rgb = jnp.asarray([[[0.613, 0.207, 0.101], [0.308, 0.902, 0.404]]],
+                      jnp.float32)
+    img = np.asarray(
+        composite(p, None, valid, alpha, dist, elev, plen, normal, kind, rgb)
+    )[0]
+    cols = np.asarray(color_hits(p, dist, elev, normal, kind, rgb),
+                      np.float64)[0]  # already on the u8 grid
+    sky = np.asarray(sky_color(p), np.float64)
+    # Rust fold: result is Rgb<u8>; add() = trunc((r/255 + c*a)*255) per step
+    result = np.zeros(3)
+    accum = 1.0
+    for i, a in enumerate([0.5, 0.75]):
+        result = np.trunc(
+            np.clip(result / 255.0 + cols[i] * (accum * a), 0.0, 1.0) * 255.0
+        )
+        accum *= 1.0 - a
+    result = np.trunc(np.clip(result / 255.0 + sky * accum, 0.0, 1.0) * 255.0)
+    np.testing.assert_array_equal(img, result.astype(np.uint8))
