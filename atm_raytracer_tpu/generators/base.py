@@ -111,18 +111,9 @@ def fetch_flat(arr, chunk_bytes: int = 0) -> np.ndarray:
         return out
     if nbytes < _FETCH_OVERLAP_MIN_BYTES:
         return np.asarray(flat)
-    from concurrent.futures import ThreadPoolExecutor
-
-    per = _FETCH_CHUNK_BYTES // itemsize
-    out = np.empty(n, np.dtype(flat.dtype.name))
-
-    def grab(a):
-        b = min(a + per, n)
-        out[a:b] = np.asarray(flat[a:b])
-
-    with ThreadPoolExecutor(_FETCH_THREADS) as ex:
-        list(ex.map(grab, range(0, n, per)))
-    return out
+    # one copy of the chunk/pool machinery: the overlapped path IS the
+    # single-array case of fetch_flat_many
+    return fetch_flat_many([flat])[0]
 
 
 def fetch_flat_many(arrays) -> list:

@@ -31,7 +31,7 @@ from ..models import camera
 from ..models.earth import EarthModel
 from ..ops import combine
 from ..ops.composite import composite
-from ..physics.ray import EarthShape, RefractionTable, march_rays
+from ..physics.ray import EarthShape, RefractionTable, march_coarse, march_rays
 from ..terrain.sample import sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult
@@ -171,9 +171,7 @@ def separable_hits(
     # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174.
     # Coarse RK4 + Hermite dense output caps the sequential chain at ~500m
     # granularity (parity with fine-step: tests/test_ray.py).
-    coarse = int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
-        1, int(800.0 // step)
-    )
+    coarse = march_coarse(step)
     ray_h, path_len = march_rays(
         alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
         shape, table, straight, coarse=coarse, progress=with_progress,
@@ -277,9 +275,7 @@ def _separable_hit_planes(
     from ..ops.objects import apply_objects_planes
     from ..ops.objects import _planes_to_hb, _PLANE_CHANNELS
 
-    coarse = int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
-        1, int(800.0 // step)
-    )
+    coarse = march_coarse(step)
     ray_h, path_len = march_rays(
         alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
         shape, table, straight, coarse=coarse, progress=with_progress,

@@ -48,6 +48,7 @@ from ..ops.objects import ObjectSet, merge_hits, object_hits_pixelwise
 from ..physics.ray import (
     EarthShape,
     RefractionTable,
+    march_coarse,
     march_rays,
     march_scan,
     march_scan_light,
@@ -59,10 +60,6 @@ from .base import HitBuffer, RenderResult, callbacks_supported, fetch_flat
 from .fast import build_refraction_table, terrain_bbox
 
 
-def _march_coarse(step: float) -> int:
-    return int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
-        1, int(800.0 // step)
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +106,7 @@ def fused_shared_core(
     # use the SAME window size the scan integrated with, or the "bitwise
     # the fine values the scan saw" invariant breaks and the exact re-test
     # can reject a crossing the scan found
-    coarse = max(1, min(_march_coarse(step), n_seg))
+    coarse = max(1, min(march_coarse(step), n_seg))
     if elev_hw is None:
         # derive the pixel elevation grid ON device: uploading a [H, W] f32
         # grid costs more tunnel time than the whole render (models.camera
@@ -417,7 +414,7 @@ def shared_column_core(
     Returns (images [n_chunks, R·W, 3] u8, hits HitBuffer [n_chunks, R·W, K]).
     """
     n_seg = n_terr - 1
-    coarse = _march_coarse(step)
+    coarse = march_coarse(step)
     n_chunks, r_n, w_n = elev_chunks.shape
     rw = r_n * w_n
 
@@ -572,7 +569,7 @@ def fused_culled_core(
     n_seg = n_terr - 1
     # clamp like the scans do internally (see fused_shared_core): block
     # bookkeeping must use the window size the scan integrates with
-    coarse = max(1, min(_march_coarse(step), n_seg))
+    coarse = max(1, min(march_coarse(step), n_seg))
     b_len = block_windows * coarse  # segments per block
     nb = -(-n_seg // b_len)
     n_march = nb * b_len  # march through whole blocks; masks trim the tail
@@ -825,7 +822,7 @@ def pixelwise_hits(
     """Hits for P independent (elevation, azimuth) rays."""
     p_n = elev_rad.shape[0]
     n_seg = n_terr - 1
-    coarse = _march_coarse(step)
+    coarse = march_coarse(step)
     ray_h, path_len = march_rays(
         alt0, elev_rad, step, n_seg, shape, table, straight, coarse=coarse
     )  # [P, n_terr]

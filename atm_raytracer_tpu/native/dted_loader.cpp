@@ -139,7 +139,6 @@ void dted_load_batch(const char* paths, int n, float* out, double* origins,
   int n_threads = max_threads > 0 ? max_threads : 8;
   if (n_threads > n) n_threads = n;
   std::vector<std::thread> workers;
-  std::vector<int> next(1, 0);
   auto work = [&](int t) {
     for (int i = t; i < n; i += n_threads) {
       status[i] = load_one(ptrs[i], out + i * tile_elems, cols, rows, cols,

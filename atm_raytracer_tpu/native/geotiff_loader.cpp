@@ -230,7 +230,6 @@ void gtif_load_batch(const char* paths_blob, int n, float* out, int* status,
   }
   int workers = max_threads < 1 ? 1 : max_threads;
   std::vector<std::thread> pool;
-  std::vector<int> next(1, 0);
   for (int t = 0; t < workers && t < n; ++t) {
     pool.emplace_back([&, t]() {
       for (int i = t; i < n; i += workers) {

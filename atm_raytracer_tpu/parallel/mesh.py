@@ -198,12 +198,10 @@ def render_sweep_sharded(
             for d, fv in zip(dirs, fovs)
         ]).astype(np.float32)  # [F, W]
 
-    # sweep bbox: a sweep looks in every direction (not terrain_bbox's
-    # forward cone)
-    d_deg = frame.max_distance / 90_000.0 + 0.1
-    lat_rng = (pos.latitude - d_deg, pos.latitude + d_deg)
-    coslat = max(0.2, math.cos(math.radians(pos.latitude)))
-    lon_rng = (pos.longitude - d_deg / coslat, pos.longitude + d_deg / coslat)
+    # terrain_bbox is omnidirectional (observer ± reach) and sizes the
+    # longitude extent at the most poleward reachable latitude — a local
+    # cos(lat0) copy here under-covered poleward-looking sweeps
+    lat_rng, lon_rng = fast_mod.terrain_bbox(params)
     pack = terrain.pack(lat_rng, lon_rng)
     table_axes = None
     if atmospheres is None:

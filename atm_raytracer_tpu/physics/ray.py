@@ -288,6 +288,20 @@ def _rk4_step(h, v, dx, table, radius, straight):
     return h_new, v_new
 
 
+def march_coarse(step: float) -> int:
+    """Coarse RK4 window length in march steps (~800 m of ground distance).
+
+    THE one copy of the heuristic: every generator must integrate with the
+    same window or cross-generator bit-parity breaks. Override with
+    ATM_RAYTRACER_MARCH_COARSE.
+    """
+    import os
+
+    return int(os.environ.get("ATM_RAYTRACER_MARCH_COARSE", "0")) or max(
+        1, int(800.0 // step)
+    )
+
+
 def rk4_window(h, v, plen, step, coarse, table, straight, radius):
     """One coarse RK4 step + Hermite dense output + calc_dist path lengths.
 

@@ -104,8 +104,14 @@ class Terrain:
         return t
 
     def add_tile(self, tile: Tile) -> None:
-        """Register an in-memory tile (synthetic terrain, benchmarks)."""
+        """Register an in-memory tile (synthetic terrain, benchmarks).
+
+        Drops memoized device mosaics: the pack cache keys on tile KEYS,
+        so replacing a tile's content under an unchanged key would
+        otherwise serve the previous elevations on the next render.
+        """
         self._loaded[(tile.lat0, tile.lon0)] = tile
+        self._pack_cache.clear()
 
     def buffer_file(self, path) -> None:
         path = Path(path)

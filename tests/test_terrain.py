@@ -259,3 +259,21 @@ def test_preload_batches_mixed_formats(tmp_path, capsys):
     assert (49, 21) in t._loaded and (49, 22) in t._loaded
     np.testing.assert_allclose(t._loaded[(49, 21)].elev, g1, atol=0.51)
     np.testing.assert_allclose(t._loaded[(49, 22)].elev, g2, atol=0.51)
+
+
+def test_add_tile_invalidates_pack_cache():
+    """pack() memoizes by bbox + tile keys; replacing a tile's CONTENT via
+    add_tile under the same key must not serve the previous mosaic."""
+    from atm_raytracer_tpu.terrain.store import Tile
+
+    n = 11
+    t = Terrain()
+    t.add_tile(Tile(lat0=49, lon0=21,
+                    elev=np.full((n, n), 100.0, np.float32)))
+    box = ((49.2, 49.8), (21.2, 21.8))
+    p1 = t.pack(*box)
+    assert float(np.asarray(p1.tiles).max()) == 100.0
+    t.add_tile(Tile(lat0=49, lon0=21,
+                    elev=np.full((n, n), 250.0, np.float32)))
+    p2 = t.pack(*box)
+    assert float(np.asarray(p2.tiles).max()) == 250.0
