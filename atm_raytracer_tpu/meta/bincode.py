@@ -641,6 +641,9 @@ def encode_alldata(params: dict, elev, az, hits, *, vec3_prefixed=False,
         t = _EARTH_VARIANTS.index(name)
         w.u32(t)
         for f in _EARTH_FIELDS[t]:
+            if f not in fields and f == "projection_radius":
+                # EarthModel.to_config emits the reference serde spelling
+                f = "proj_radius"
             w.f64(fields[f])
     w.b += params.get("env_raw", b"")
     w.boolean(params.get("straight_rays", False))

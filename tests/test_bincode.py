@@ -270,3 +270,20 @@ def test_fuzzed_artifact_never_crashes():
     attempt(b"")
     attempt(b"\x1f\x8b")
     attempt(rng.bytes(4096))
+
+
+def test_observer_ae_encode_accepts_both_spellings(tmp_path):
+    """EarthModel.to_config emits the reference serde spelling
+    (`proj_radius`, earth_model/mod.rs:26); the encoder must take either
+    that or the README's `projection_radius`."""
+    from atm_raytracer_tpu.meta.serialize import load_metadata
+
+    elev, az, hits = _sample_result()
+    for spelling in ("proj_radius", "projection_radius"):
+        params = _sample_params(_ENV)
+        params["model"] = {"ObserverAe": {spelling: 1_250_000.0}}
+        path = tmp_path / f"ae_{spelling}.dat"
+        path.write_bytes(B.encode_alldata(params, elev, az, hits))
+        config, _ = load_metadata(path)
+        assert config.earth_shape.kind == "ObserverAe"
+        assert config.earth_shape.radius == 1_250_000.0
