@@ -196,25 +196,51 @@ int load_one(const std::string& path, float* out, int rows, int cols) {
 extern "C" {
 
 // rows/cols of the image, or nonzero if not a readable baseline TIFF.
+// Reads only the 8-byte header plus the IFD block (width/height are inline
+// SHORT/LONG values in every real SRTM tile) — probing must not cost a
+// whole-file read when the caller is about to decode the file anyway
+// (Terrain.preload probes for buffer sizing, then batch-decodes).
 int gtif_probe(const char* path, int* rows, int* cols) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
-  // headers are tiny; 64 KB covers any sane IFD placement for SRTM tiles,
-  // but IFDs can sit at the END of the file — read it all (tiles are ~MBs)
-  std::fseek(f, 0, SEEK_END);
-  long len = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  if (len < 8) { std::fclose(f); return 2; }
-  std::vector<uint8_t> buf(len);
-  if (std::fread(buf.data(), 1, len, f) != size_t(len)) { std::fclose(f); return 3; }
+  uint8_t head[8];
+  if (std::fread(head, 1, 8, f) != 8) { std::fclose(f); return 2; }
+  Reader hr{head, 8, false};
+  if (head[0] == 'M' && head[1] == 'M') hr.big = true;
+  else if (!(head[0] == 'I' && head[1] == 'I')) { std::fclose(f); return 4; }
+  if (hr.u16(2) != 42) { std::fclose(f); return 4; }
+  uint32_t ifd = hr.u32(4);
+  if (std::fseek(f, long(ifd), SEEK_SET) != 0) { std::fclose(f); return 5; }
+  uint8_t cnt_buf[2];
+  if (std::fread(cnt_buf, 1, 2, f) != 2) { std::fclose(f); return 5; }
+  Reader cr{cnt_buf, 2, hr.big};
+  uint16_t n_entries = cr.u16(0);
+  std::vector<uint8_t> entries(size_t(12) * n_entries);
+  if (n_entries == 0 ||
+      std::fread(entries.data(), 1, entries.size(), f) != entries.size()) {
+    std::fclose(f);
+    return 5;
+  }
   std::fclose(f);
-  Reader r{buf.data(), buf.size(), false};
-  if (buf[0] == 'M' && buf[1] == 'M') r.big = true;
-  else if (!(buf[0] == 'I' && buf[1] == 'I')) return 4;
-  Tiff t = parse_header(r);
-  if (!t.ok) return 5;
-  *rows = int(t.height);
-  *cols = int(t.width);
+  Reader r{entries.data(), entries.size(), hr.big};
+  uint32_t width = 0, height = 0;
+  for (uint16_t i = 0; i < n_entries; ++i) {
+    size_t e = size_t(12) * i;
+    uint16_t tag = r.u16(e);
+    if (tag != 256 && tag != 257) continue;
+    uint16_t type = r.u16(e + 2);
+    uint32_t count = r.u32(e + 4);
+    if (count != 1) return 5;
+    uint64_t v;
+    if (type == 3) v = r.u16(e + 8);        // SHORT, inline
+    else if (type == 4) v = r.u32(e + 8);   // LONG, inline
+    else return 5;                          // out-of-line -> not SRTM-shaped
+    if (tag == 256) width = uint32_t(v);
+    else height = uint32_t(v);
+  }
+  if (width == 0 || height == 0) return 5;
+  *rows = int(height);
+  *cols = int(width);
   return 0;
 }
 
