@@ -12,6 +12,10 @@ import numpy as np
 from atm_raytracer_tpu.terrain import write_dted, write_geotiff
 
 
+# spherical meters per degree of latitude (R = 6371 km): pi*R/180
+M_PER_DEG = 111_194.9
+
+
 def analytic_hills(lat, lon, base_lat=49.0, base_lon=21.0):
     """Smooth deterministic landscape, meters; works on arrays (degrees)."""
     la = np.asarray(lat, np.float64) - base_lat

@@ -80,7 +80,6 @@ def _sample_result(h=4, w=5, k=2):
 
     class Hits:
         valid = rng.rand(h, w, k) < 0.6
-        key = np.where(valid, 1.0, np.inf).astype(np.float32)
         dlat = rng.randn(h, w, k).astype(np.float64) * 0.01
         dlon = rng.randn(h, w, k).astype(np.float64) * 0.01
         distance = (rng.rand(h, w, k) * 1e5).astype(np.float64)
@@ -92,6 +91,12 @@ def _sample_result(h=4, w=5, k=2):
 
     # first slot of the first pixel always valid (stable spot checks)
     Hits.valid[0, 0, 0] = True
+    # HitBuffer contract: key is the march sort position, distance = key*step
+    # (distinct per slot — equal keys would make compaction order a
+    # tie-break accident)
+    Hits.key = np.where(
+        Hits.valid, Hits.distance / 50.0, np.inf
+    ).astype(np.float32)
     elev = rng.randn(h, w) * 2.0
     az = 45.0 + rng.randn(h, w)
     return elev, az, Hits

@@ -56,8 +56,12 @@ def _run(*args, timeout=600):
 def test_output_atm_us76_table(cfg_path):
     out = _run("output-atm", str(cfg_path), "-a", "0", "-b", "12000",
                "-s", "1000")
-    rows = [list(map(float, ln.split())) for ln in out.strip().splitlines()
-            if ln and ln[0].isdigit() or ln.startswith("0")]
+    rows = []
+    for ln in out.strip().splitlines():
+        try:
+            rows.append(list(map(float, ln.split())))
+        except ValueError:
+            continue  # header / non-numeric line
     rows = np.asarray([r for r in rows if len(r) >= 3])
     # columns: altitude, temperature (Kelvin unless --celsius), pressure
     alt = rows[:, 0]

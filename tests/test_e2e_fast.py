@@ -66,8 +66,20 @@ def _render(tmp_path, terrain_dir, **over):
     return config, params, render_fast(params, terrain)
 
 
-def test_fast_render_shape_and_sky(tmp_path, terrain_dir):
-    config, params, result = _render(tmp_path, terrain_dir)
+@pytest.fixture(scope="module")
+def default_render(tmp_path_factory, terrain_dir):
+    """One shared default-config render (+ its Terrain): five tests use the
+    identical render, and this is the most expensive operation in the file
+    on the 1-core host."""
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    tmp = tmp_path_factory.mktemp("e2e_default")
+    config, params, result = _render(tmp, terrain_dir)
+    return config, params, result, Terrain.from_folder(terrain_dir)
+
+
+def test_fast_render_shape_and_sky(default_render):
+    config, params, result, _ = default_render
     assert result.image.shape == (48, 64, 3)
     # top rows look at the sky (no hits); bottom rows hit terrain
     assert not result.hits.valid[0].any()
@@ -82,24 +94,22 @@ def test_fast_render_shape_and_sky(tmp_path, terrain_dir):
     assert (np.diff(d) <= 0).mean() > 0.9  # row index grows downward
 
 
-def test_flat_earth_sees_farther(tmp_path, terrain_dir):
+def test_flat_earth_sees_farther(tmp_path, terrain_dir, default_render):
     # On a flat Earth there is no geometric horizon: the terrain fills rows
     # that are sky on the sphere (the tool's raison d'être, README.md:9-12).
-    _, _, sphere = _render(tmp_path, terrain_dir)
+    _, _, sphere, _ = default_render
     _, _, flat = _render(tmp_path, terrain_dir, earth_shape="FlatDistorted")
     assert flat.hits.valid[..., 0].sum() >= sphere.hits.valid[..., 0].sum()
     # the horizon row (first valid from top, center column) is higher on flat
     def horizon_row(res):
         col = res.hits.valid[:, 32, 0]
+        assert col.any(), "center column has no terrain hits"
         return int(np.argmax(col))
     assert horizon_row(flat) <= horizon_row(sphere)
 
 
-def test_hit_elevation_matches_terrain(tmp_path, terrain_dir):
-    from atm_raytracer_tpu.terrain.store import Terrain
-
-    _, params, result = _render(tmp_path, terrain_dir)
-    terrain = Terrain.from_folder(terrain_dir)
+def test_hit_elevation_matches_terrain(default_render):
+    _, params, result, terrain = default_render
     hits = result.hits
     ys, xs = np.where(hits.valid[..., 0])
     lat0, lon0, _ = result.observer
@@ -114,18 +124,18 @@ def test_hit_elevation_matches_terrain(tmp_path, terrain_dir):
         assert got == pytest.approx(expect, abs=8.0), (y, x)
 
 
-def test_straight_vs_refracted_horizon(tmp_path, terrain_dir):
-    _, _, refr = _render(tmp_path, terrain_dir)
+def test_straight_vs_refracted_horizon(tmp_path, terrain_dir, default_render):
+    _, _, refr, _ = default_render
     _, _, straight = _render(tmp_path, terrain_dir, straight_rays=True)
     # refraction extends the horizon: at least as many terrain pixels
     assert refr.hits.valid[..., 0].sum() >= straight.hits.valid[..., 0].sum()
 
 
-def test_metadata_roundtrip(tmp_path, terrain_dir):
+def test_metadata_roundtrip(tmp_path, default_render):
     from atm_raytracer_tpu.meta.serialize import load_metadata, save_metadata
     from atm_raytracer_tpu.meta.viewer import _render_from_metadata, pixel_info
 
-    config, params, result = _render(tmp_path, terrain_dir)
+    config, params, result, _ = default_render
     meta_path = tmp_path / "meta.npz"
     save_metadata(meta_path, config, result)
     config2, result2 = load_metadata(meta_path)

@@ -6,9 +6,10 @@ Reference semantics under test: analytic frustum intersection
 occlusion ordering (utils.rs:241-284).
 """
 
-from pathlib import Path
-
 import numpy as np
+import pytest
+
+from fixtures import M_PER_DEG, make_terrain_folder, analytic_hills
 
 
 def test_max_window_overlap():
@@ -24,13 +25,9 @@ def test_max_window_overlap():
     assert max_window_overlap(((0, 10), (3, 0), (5, 10)), 3) == 2
     # touching ranges don't overlap ([0,10) then [10,10))
     assert max_window_overlap(((0, 10), (10, 10)), 2) == 1
-import pytest
-import yaml
 
-from fixtures import make_terrain_folder, analytic_hills
 
 LAT0, LON0 = 49.5, 21.5
-M_PER_DEG = 111_194.9  # spherical meters per degree (R=6371km)
 
 
 def _make_params(tmp_path, terrain_dir, objects, **over):
@@ -99,13 +96,18 @@ def test_cylinder_visible_with_correct_color_and_distance(tmp_path, terrain_dir)
     # hit distance ~ 1500 m (within a march step + radius)
     d = hits.distance[obj_mask]
     assert abs(np.median(d) - dist) < 60.0
-    # with ambient=1 the shading brightness is 1 → pixel = color exactly
-    py, px = ys[len(ys) // 2], xs[len(xs) // 2]
-    first_k = np.argmax(obj_mask[py, px])
-    if hits.valid[py, px, :first_k].any():
-        pass  # terrain in front at this pixel; find a clean one
+    # with ambient=1 the shading brightness is 1 → pixel = color exactly,
+    # on a pixel where the OBJECT is the frontmost hit (nothing valid
+    # before its slot)
+    clean = None
+    for py, px in zip(ys, xs):
+        first_k = int(np.argmax(obj_mask[py, px]))
+        if not hits.valid[py, px, :first_k].any():
+            clean = (py, px)
+            break
+    assert clean is not None, "no unoccluded object pixel found"
     np.testing.assert_array_equal(
-        result.image[ys[0], xs[0]],
+        result.image[clean],
         np.trunc(np.array([0.8, 0.1, 0.1]) * 255),
     )
 
@@ -259,7 +261,7 @@ def test_objects_not_hit_after_ray_death():
     terrain.add_tile(Tile(
         lat0=49, lon0=21, elev=np_.full((121, 121), -3000, np_.int16)
     ))
-    m_per_deg = 111_194.9
+    from fixtures import M_PER_DEG as m_per_deg
 
     def obj(dist_m, base_elev):
         return {

@@ -134,8 +134,6 @@ def test_sweep_with_per_frame_atmospheres(setup):
         first_temperature_function=LinearFunction(-0.03),  # convective
         temperature_fixed_point=(0.0, 293.15),
     )
-    # NB: an earlier test mutates the shared config's direction in place;
-    # compare against whatever the params currently point at
     d0 = float(params.view.frame.direction)
     dirs = [d0, d0]
     frames = render_sweep_sharded(
@@ -312,7 +310,7 @@ def test_tilted_object_sharded_matches_single_chip(setup):
     d["output"]["height"] = 24
     d["view"]["frame"]["tilt"] = 4.0
     d["view"]["frame"]["max_distance"] = 4000.0
-    m_per_deg = 111_194.9
+    from fixtures import M_PER_DEG as m_per_deg
     d["scene"] = {"terrain_alpha": 0.85, "objects": [{
         "position": {
             "latitude": 49.5 + 700.0 / m_per_deg * np_.cos(np_.deg2rad(30.0)),
@@ -421,7 +419,7 @@ def test_sharded_objects_match_single_chip(setup):
 
     config, terrain, _ = setup
     d = config.to_dict()
-    m_per_deg = 111_194.9
+    from fixtures import M_PER_DEG as m_per_deg
     d["scene"] = {"terrain_alpha": 0.8, "objects": [{
         "position": {
             "latitude": 49.5 + 900.0 / m_per_deg * np_.cos(np_.deg2rad(30.0)),

@@ -116,7 +116,7 @@ def test_rectilinear_objects(setup, tmp_path):
 
     config, terrain, _ = setup
     d = config.to_dict()
-    m_per_deg = 111_194.9
+    from fixtures import M_PER_DEG as m_per_deg
     d["scene"]["objects"] = [
         {
             "position": {
@@ -139,7 +139,7 @@ def test_rectilinear_objects(setup, tmp_path):
     assert abs(xs.mean() - 24) < 6  # near the view direction
 
 
-def test_progress_percent_lines(setup):
+def test_progress_percent_lines(setup, monkeypatch):
     """Per-percent progress (rectilinear.rs:40-49): both code paths report."""
     from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
 
@@ -157,14 +157,10 @@ def test_progress_percent_lines(setup):
 
     params2 = Config.from_dict(d).into_params(terrain)
     seen2 = []
-    import os
-
-    os.environ["ATM_RAYTRACER_NO_CULL"] = "1"
-    try:
-        render_rectilinear(params2, terrain, chunk_rows=8,
-                           progress=seen2.append)
-    finally:
-        del os.environ["ATM_RAYTRACER_NO_CULL"]
+    monkeypatch.setenv("ATM_RAYTRACER_NO_CULL", "1")
+    render_rectilinear(params2, terrain, chunk_rows=8,
+                       progress=seen2.append)
+    monkeypatch.delenv("ATM_RAYTRACER_NO_CULL")
     assert seen2 == sorted(seen2) and seen2[-1] == 100 and len(seen2) >= 3
 
 
@@ -264,12 +260,10 @@ def test_fused_multi_hit_slots(setup):
     )
 
 
-def test_culled_matches_dense_pixelwise(setup):
+def test_culled_matches_dense_pixelwise(setup, monkeypatch):
     """The envelope-culled tilted path is EXACT: it must agree with the
     dense per-pixel program (same march, same per-azimuth sampling) to
     floating-point noise."""
-    import os
-
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
 
@@ -279,11 +273,9 @@ def test_culled_matches_dense_pixelwise(setup):
     params2 = Config.from_dict(d).into_params(terrain)
 
     culled = render_rectilinear(params2, terrain)
-    os.environ["ATM_RAYTRACER_NO_CULL"] = "1"
-    try:
-        dense = render_rectilinear(params2, terrain, chunk_rows=16)
-    finally:
-        del os.environ["ATM_RAYTRACER_NO_CULL"]
+    monkeypatch.setenv("ATM_RAYTRACER_NO_CULL", "1")
+    dense = render_rectilinear(params2, terrain, chunk_rows=16)
+    monkeypatch.delenv("ATM_RAYTRACER_NO_CULL")
 
     cv = np.asarray(culled.hits.valid[..., 0])
     dv = np.asarray(dense.hits.valid[..., 0])
@@ -310,11 +302,9 @@ def test_culled_matches_dense_pixelwise(setup):
     {"straight_rays": True},
     {"earth_shape": "FlatDistorted"},
 ])
-def test_culled_matches_dense_variants(setup, extra):
+def test_culled_matches_dense_variants(setup, extra, monkeypatch):
     """Envelope culling stays exact across physics variants (straight rays,
     flat-family models)."""
-    import os
-
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
 
@@ -325,11 +315,9 @@ def test_culled_matches_dense_variants(setup, extra):
     params2 = Config.from_dict(d).into_params(terrain)
 
     culled = render_rectilinear(params2, terrain)
-    os.environ["ATM_RAYTRACER_NO_CULL"] = "1"
-    try:
-        dense = render_rectilinear(params2, terrain, chunk_rows=16)
-    finally:
-        del os.environ["ATM_RAYTRACER_NO_CULL"]
+    monkeypatch.setenv("ATM_RAYTRACER_NO_CULL", "1")
+    dense = render_rectilinear(params2, terrain, chunk_rows=16)
+    monkeypatch.delenv("ATM_RAYTRACER_NO_CULL")
     cv = np.asarray(culled.hits.valid[..., 0])
     dv = np.asarray(dense.hits.valid[..., 0])
     assert (cv == dv).mean() > 0.998, (cv == dv).mean()

@@ -171,7 +171,8 @@ def test_native_loader_matches_python_parser(tmp_path):
 
     if not native.available():
         import subprocess, pathlib
-        build = pathlib.Path("atm_raytracer_tpu/native/build.sh")
+        build = (pathlib.Path(__file__).parents[1]
+                 / "atm_raytracer_tpu" / "native" / "build.sh")
         subprocess.run(["sh", str(build)], check=True)
     assert native.available()
     grid = tile_grid(49, 21, 121)
