@@ -161,3 +161,23 @@ def test_observer_ae_accepts_reference_serde_key():
     m2 = EarthModel.from_config({"ObserverAe": {"projection_radius": 1.25e6}})
     assert m1 == m2 == EarthModel(kind="ObserverAe", radius=1.25e6)
     assert m1.to_config() == {"ObserverAe": {"proj_radius": 1.25e6}}
+
+
+def test_vincenty_direct_published_line():
+    """Independent absolute oracle for the Vincenty direct solution
+    (directional_calc.rs:88-185): the Geoscience Australia test line
+    Flinders Peak -> Buninyong (GRS80; flattening delta vs WGS84 is
+    sub-mm at this scale): s = 54 972.271 m, alpha1 = 306d52'05.37".
+    Existing geodesic tests only pin device-vs-host consistency."""
+    def dms(d, m, s):
+        return d + m / 60.0 + s / 3600.0
+
+    lat1, lon1 = -dms(37, 57, 3.72030), dms(144, 25, 29.52440)
+    lat2, lon2 = -dms(37, 39, 10.15610), dms(143, 55, 35.38390)
+    az1 = dms(306, 52, 5.37)
+    la, lo = EarthModel(kind="Wgs84").coords_at_dist_host(
+        lat1, lon1, az1, 54_972.271
+    )
+    # published coordinates are given to 1e-5 arcsec (~0.3 mm)
+    assert abs(la - lat2) * 111_194.9 < 2e-3  # meters
+    assert abs(lo - lon2) * 111_194.9 * np.cos(np.deg2rad(lat2)) < 2e-3
