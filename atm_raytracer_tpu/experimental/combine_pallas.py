@@ -6,9 +6,15 @@ kernel tiles the output [H, W] key map into (TH × TW) VMEM blocks, streams
 the march axis as an outer-difference per step entirely in registers/VMEM,
 and writes only the [H, W] keys: ~0.8 GB of HBM traffic total.
 
-Inputs are pre-masked by ``fold_ray_death`` (the reference's h < −1000 path
-truncation, utils.rs:167, becomes a −1e9 clobber two samples after the first
-dead one, which kills every later crossing test without extra operands).
+Ray death (the reference's h < −1000 path truncation, utils.rs:167) is an
+explicit per-ray segment bound streamed into the kernel: segment k is only
+eligible while k < death_seg[h] (= first dead sample + 1, matching
+ops.combine.ray_alive_mask — the segment STARTING at the first dead sample
+is still tested). A sample-clobber encoding cannot express this: adjacent
+segments share samples, so any constant clobber value either kills the
+death-transition segment or fabricates a crossing against terrain on the
+other side of the constant (e.g. −1e9 "crosses" bathymetric terrain at
+−1500 m that the ray never reached).
 
 Early exit economics (SURVEY §7): a tile whose pixels all found a hit stops
 marching — the while-loop predicate checks the running max of the best keys,
@@ -32,33 +38,20 @@ TILE_W = 256
 BLOCK = 128  # march samples per VMEM load; lane-dim slices must be 128-aligned
 
 
-def fold_ray_death(ray_h: jnp.ndarray) -> jnp.ndarray:
-    """Clobber samples ≥2 past the first h<−1000 sample to −1e9.
-
-    Keeps the death-transition segment (j0, j0+1) intact — the reference
-    processes it before breaking (gen_path_cache utils.rs:159-171) — while
-    guaranteeing every later segment has both ends at −1e9 (no crossings).
-    """
-    dead = ray_h < DEATH_ALTITUDE
-    n = ray_h.shape[-1]
-    prior = jnp.cumsum(dead.astype(jnp.int32), axis=-1)
-    # sample j is clobbered iff some i <= j-2 is dead  ⇔  prior[j-2] > 0
-    shifted = jnp.concatenate(
-        [jnp.zeros(ray_h.shape[:-1] + (2,), jnp.int32), prior[..., : n - 2]], axis=-1
-    )
-    return jnp.where(shifted > 0, jnp.float32(-1e9), ray_h)
-
-
-def _first_crossing_kernel(n_blocks: int, n_seg: int, ray_ref, terr_ref, out_ref):
+def _first_crossing_kernel(n_blocks: int, n_seg: int, ray_ref, terr_ref,
+                           death_ref, out_ref):
     """ray_ref [TH, 1+S], terr_ref [TW, 1+S]: lane 0 duplicates sample 0, so
     lane s holds march sample s−1 and every BLOCK-wide load is 128-aligned.
     Segment k is tested when its far end (sample k+1, lane k+2) streams in.
+    death_ref [TH, 128] replicates each ray's first masked segment index:
+    candidates need kf < death (ops.combine.ray_alive_mask semantics).
     """
     th = ray_ref.shape[0]
     tw = terr_ref.shape[0]
 
     acc0 = jnp.full((th, tw), NO_HIT, jnp.float32)
     d0 = ray_ref[:, 0][:, None] - terr_ref[:, 0][None, :]  # duplicate sample 0
+    death = death_ref[:, 0][:, None]  # [TH, 1]
 
     def cond(state):
         i, acc, _ = state
@@ -77,8 +70,10 @@ def _first_crossing_kernel(n_blocks: int, n_seg: int, ray_ref, terr_ref, out_ref
             kf = k0f + (u - 2)  # lane k0+u = sample k0+u-1, far end of seg k0+u-2
             prop = d_prev / (d_prev - d_new)
             in_range = jnp.logical_and(kf >= 0.0, kf < n_seg)
+            alive = kf < death  # [TH, 1] broadcast over columns
             cand = jnp.where(
-                jnp.logical_and(crossing, in_range), kf + prop, NO_HIT
+                jnp.logical_and(jnp.logical_and(crossing, in_range), alive),
+                kf + prop, NO_HIT,
             )
             acc = jnp.minimum(acc, cand)
             d_prev = d_new
@@ -92,7 +87,7 @@ def _first_crossing_kernel(n_blocks: int, n_seg: int, ray_ref, terr_ref, out_ref
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "interpret"))
 def first_crossing_pallas(
-    ray_h: jnp.ndarray,  # [H, N+1] pre-folded (fold_ray_death)
+    ray_h: jnp.ndarray,  # [H, N+1] raw march altitudes
     terr_elev: jnp.ndarray,  # [W, N+1]
     n_seg: int,
     interpret: bool = False,
@@ -100,6 +95,13 @@ def first_crossing_pallas(
     """First terrain-crossing key per (ray, column): [H, W, 1] f32."""
     h_n, n_p1 = ray_h.shape
     w_n = terr_elev.shape[0]
+
+    # per-ray death bound: first masked segment = first dead sample + 1
+    # (segment j0 starting at the first sub-threshold sample is still
+    # tested — utils.rs:159-171 / ops.combine.ray_alive_mask)
+    dead = ray_h < DEATH_ALTITUDE
+    j0 = jnp.argmax(dead, axis=-1).astype(jnp.float32)
+    death_seg = jnp.where(dead.any(-1), j0 + 1.0, jnp.float32(n_seg))
 
     # shifted layout: lane 0 duplicates sample 0 so BLOCK loads stay aligned
     ray_s = jnp.concatenate([ray_h[:, :1], ray_h], axis=1)
@@ -116,6 +118,11 @@ def first_crossing_pallas(
         terr_p = terr_p[:, : n_blocks * BLOCK]
     hp, np_ = ray_p.shape
     wp = terr_p.shape[0]
+    # replicate to a 128-lane block so the load stays VMEM-tileable; padded
+    # rows get bound 0 (their whole output is cropped)
+    death_p = jnp.pad(death_seg, (0, pad_h))[:, None] * jnp.ones(
+        (1, 128), jnp.float32
+    )
 
     out = pl.pallas_call(
         functools.partial(_first_crossing_kernel, n_blocks, n_seg),
@@ -125,12 +132,14 @@ def first_crossing_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_W, np_), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=interpret,
-    )(ray_p, terr_p)
+    )(ray_p, terr_p, death_p)
     return out[:h_n, :w_n, None]
 
 

@@ -31,18 +31,18 @@ import numpy as np
 
 
 def build_terrain(lat0, lon0, reach_deg_lat, reach_deg_lon, n_posts=1201):
-    sys.path.insert(0, "tests")
-    from fixtures import analytic_hills
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tests"))
+    from fixtures import tile_grid
     from atm_raytracer_tpu.terrain.store import Terrain, Tile
 
     terrain = Terrain()
     for la in range(int(math.floor(lat0 - reach_deg_lat)), int(math.floor(lat0 + reach_deg_lat)) + 1):
         for lo in range(int(math.floor(lon0 - reach_deg_lon)), int(math.floor(lon0 + reach_deg_lon)) + 1):
-            lats = la + np.arange(n_posts) / (n_posts - 1)
-            lons = lo + np.arange(n_posts) / (n_posts - 1)
-            # integer meters, like real DTED/SRTM posts (fixtures.tile_grid)
-            grid = np.round(analytic_hills(lats[:, None], lons[None, :])).astype(np.int16)
-            terrain.add_tile(Tile(lat0=la, lon0=lo, elev=grid))
+            # integer-meter posts, like real DTED/SRTM tiles — the same
+            # fixture grid the tests render
+            terrain.add_tile(Tile(lat0=la, lon0=lo, elev=tile_grid(la, lo, n_posts)))
     return terrain
 
 
@@ -353,25 +353,11 @@ def bench_generator(terrain, gen: str):
 
 
 def _enable_compilation_cache():
-    """Persistent XLA cache (same location as the CLI): repeat bench runs of
-    a shape skip the 30-200 s TPU compiles."""
-    import os
+    """Persistent XLA cache — THE cli implementation, so bench and CLI can
+    never diverge on which cache they hit."""
+    from atm_raytracer_tpu.cli import _enable_compilation_cache as impl
 
-    import jax
-
-    cache_dir = os.environ.get(
-        "ATM_RAYTRACER_CACHE",
-        os.path.join(
-            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-            "atm_raytracer_tpu", "jax",
-        ),
-    )
-    if cache_dir != "0":
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+    impl()
 
 
 def _probe_device(timeout_s: int = 120) -> bool:
@@ -446,7 +432,17 @@ def main():
                     "unit": f"FAILED: {type(e).__name__}: {str(e)[:120]}",
                     "vs_baseline": None,
                 }), flush=True)
-    bench_headline(terrain)  # LAST: the driver parses the tail line
+    # LAST: the driver parses the tail line — a headline failure must still
+    # end with a legible JSON line, not a traceback
+    try:
+        bench_headline(terrain)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "mray_steps_per_sec_per_chip", "value": None,
+            "unit": f"FAILED: {type(e).__name__}: {str(e)[:120]}",
+            "vs_baseline": None,
+        }), flush=True)
+        return 1
 
 
 if __name__ == "__main__":
