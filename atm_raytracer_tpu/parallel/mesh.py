@@ -133,6 +133,7 @@ def render_sweep_sharded(
     tilts_deg: Optional[Sequence[float]] = None,
     fovs_deg: Optional[Sequence[float]] = None,
     max_hits: Optional[int] = None,
+    return_hits: bool = False,
 ):
     """Batched sweep: F frames over (direction, tilt, fov, altitude,
     atmosphere), frame-sharded (BASELINE configs[4]: azimuth/altitude/
@@ -145,9 +146,10 @@ def render_sweep_sharded(
     (zoom sweeps); the per-row elevation grid becomes a frame-sharded
     [F, H] batch.
 
-    Returns images [F, H, W, 3] uint8 (hits are kept on device and dropped —
-    a sweep's product is the frames; per-frame metadata re-renders use
-    render_fast on the chosen frame).
+    Returns images [F, H, W, 3] uint8. With ``return_hits=True`` also
+    returns the per-frame HitBuffer batch ([F, H, W, K] leaves,
+    DEVICE-resident and frame-sharded — fetch selectively; staging all
+    frames' metadata through the host link costs more than the render).
     """
     out = params.output
     frame = params.view.frame
@@ -273,10 +275,11 @@ def render_sweep_sharded(
         elev_r = jax.device_put(jnp.asarray(elev_deg, jnp.float32), repl)
     else:  # per-frame tilt: [F, H] grid shards with the frames
         elev_r = jax.device_put(jnp.asarray(elev_frames), frames_sharding)
-    images = _sweep_device(
+    images, hits = _sweep_device(
         pack_r, table_r, obj_r, elev_r, az_dev, alt_dev, light_dev,
         batched_table=table_axes is not None,
         batched_elev=elev_frames is not None,
+        with_hits=bool(return_hits),
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -290,7 +293,11 @@ def render_sweep_sharded(
         terrain_alpha=float(params.terrain_alpha),
     )
     # flat fetch (u8 frames de-tile on device otherwise), reshape on host
-    return fetch_flat(images).reshape(images.shape)[:f]
+    frames = fetch_flat(images).reshape(images.shape)[:f]
+    if not return_hits:
+        return frames
+    hits = jax.tree.map(lambda x: x[:f], hits)  # drop mesh padding frames
+    return frames, hits
 
 
 # module-level jit (NOT a per-call closure: a fresh jit wrapper every sweep
@@ -300,19 +307,20 @@ def render_sweep_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "batched_table", "batched_elev", "model", "shape", "straight",
-        "n_terr", "step", "max_hits", "lat0", "lon0", "coloring",
+        "batched_table", "batched_elev", "with_hits", "model", "shape",
+        "straight", "n_terr", "step", "max_hits", "lat0", "lon0", "coloring",
         "fog_distance", "terrain_alpha",
     ),
 )
 def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
-                  batched_table=False, batched_elev=False, **statics):
+                  batched_table=False, batched_elev=False, with_hits=False,
+                  **statics):
     def one_frame(tab, elev_row, az_row, alt, light):
-        image, _hits = fast_mod.fast_core(
+        image, hits = fast_mod.fast_core(
             pack, tab, objset, elev_row, az_row, alt, light_dir=light,
             **statics,
         )
-        return image
+        return image, hits
 
     if batched_table:
         from ..physics.ray import RefractionTable
@@ -322,9 +330,12 @@ def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
     else:
         tab_axes = None
     elev_axes = 0 if batched_elev else None
-    return jax.vmap(one_frame, in_axes=(tab_axes, elev_axes, 0, 0, 0))(
+    images, hits = jax.vmap(one_frame, in_axes=(tab_axes, elev_axes, 0, 0, 0))(
         table, elev_deg, az_frames, alts, lights
     )
+    # when hits aren't requested, drop them INSIDE the jit so XLA
+    # dead-code-eliminates the per-frame hit materialization
+    return images, (hits if with_hits else None)
 
 
 def render_interpolating_sharded(

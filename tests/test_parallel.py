@@ -441,3 +441,32 @@ def test_sharded_objects_match_single_chip(setup):
     )
     kind = np.asarray(sharded.hits.kind)[np.asarray(sharded.hits.valid)]
     assert (kind == 1).any(), "no object hits in sharded render"
+
+
+def test_sweep_return_hits_matches_single_render(setup):
+    """return_hits=True yields per-frame HitBuffers bit-identical to a
+    fresh single render of that frame (metadata workflows over sweeps)."""
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
+
+    config, terrain, params = setup
+    mesh = make_mesh()
+    dirs = [0.0, 90.0]
+    frames, hits = render_sweep_sharded(
+        params, terrain, mesh, dirs, return_hits=True
+    )
+    assert frames.shape == (2, 40, 72, 3)
+    d90 = config.to_dict()
+    d90["view"]["frame"]["direction"] = 90.0
+    single = render_fast(Config.from_dict(d90).into_params(terrain), terrain)
+    np.testing.assert_array_equal(frames[1], single.image)
+    np.testing.assert_array_equal(
+        np.asarray(hits.valid)[1], np.asarray(single.hits.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hits.distance)[1], np.asarray(single.hits.distance)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hits.elevation)[1], np.asarray(single.hits.elevation)
+    )
