@@ -50,3 +50,60 @@ def make_terrain_folder(tmpdir, tiles=((49, 21),), n: int = 121, fmt: str = "dte
         else:
             raise ValueError(fmt)
     return tmpdir
+
+
+FLAT_DEG = 10_000_000.0 / 90.0  # flat-model meters per degree (mod.rs:12)
+
+
+def f64_flat_straight_oracle(grid, lat0, lon0, alt_rel, el_rad, az_rad,
+                             step, max_distance):
+    """Independent f64 re-derivation of the flat straight-ray pipeline.
+
+    grid: [n, n] f64 tile posts (inclusive edges over the 1° tile at
+    (floor(lat0), floor(lon0))). el_rad/az_rad broadcast together to the
+    pixel grid. Returns (has_hit, distance, hit_elevation, robust) where
+    ``robust`` masks crossings whose endpoint margins exceed 5 cm (knife
+    edges where f32 and f64 may disagree on the sign).
+
+    Mirrors from first principles: the FlatDistorted chart
+    (directional_calc.rs:41-48), straight flat rays h = h0 + x·tan(e),
+    bilinear tile sampling (geotiff.rs:61-100), the crossing test and hit
+    lerp (utils.rs:220-240).
+    """
+    n = grid.shape[0]
+    la0 = int(np.floor(lat0))
+    lo0 = int(np.floor(lon0))
+
+    def bilin(lat, lon):
+        u = np.clip((np.asarray(lat) - la0) * (n - 1), 0, n - 1)
+        v = np.clip((np.asarray(lon) - lo0) * (n - 1), 0, n - 1)
+        i0 = np.minimum(np.floor(u).astype(int), n - 2)
+        j0 = np.minimum(np.floor(v).astype(int), n - 2)
+        fu, fv = u - i0, v - j0
+        return ((grid[i0, j0] * (1 - fu) + grid[i0 + 1, j0] * fu) * (1 - fv)
+                + (grid[i0, j0 + 1] * (1 - fu)
+                   + grid[i0 + 1, j0 + 1] * fu) * fv)
+
+    alt0 = bilin(lat0, lon0) + alt_rel
+    n_terr = int(np.ceil(max_distance / step))
+    x = np.arange(n_terr + 1) * step
+    el = np.asarray(el_rad, np.float64)
+    az = np.asarray(az_rad, np.float64)
+    lat_s = lat0 + np.cos(az)[..., None] * x / FLAT_DEG
+    lon_s = (lon0 + np.sin(az)[..., None] * x / FLAT_DEG
+             / np.cos(np.deg2rad(lat0)))
+    terr = bilin(lat_s, lon_s)
+    ray = alt0 + np.tan(el)[..., None] * x
+    diff = ray - terr
+    cross = (diff[..., :-1] * diff[..., 1:]) < 0
+    first = np.argmax(cross, axis=-1)
+    has = cross.any(-1)
+    d0 = np.take_along_axis(diff[..., :-1], first[..., None], -1)[..., 0]
+    d1 = np.take_along_axis(diff[..., 1:], first[..., None], -1)[..., 0]
+    prop = d0 / (d0 - d1)
+    dist = (first + prop) * step
+    t0 = np.take_along_axis(terr[..., :-1], first[..., None], -1)[..., 0]
+    t1 = np.take_along_axis(terr[..., 1:], first[..., None], -1)[..., 0]
+    elev_hit = t0 + (t1 - t0) * prop
+    robust = has & (np.minimum(np.abs(d0), np.abs(d1)) > 0.05)
+    return has, dist, elev_hit, robust

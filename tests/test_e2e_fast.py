@@ -249,21 +249,17 @@ def test_progress_percent_lines(tmp_path, terrain_dir):
 
 
 def test_full_pipeline_matches_independent_f64_oracle():
-    """Absolute end-to-end oracle: re-derive the whole Fast pipeline
-    (FlatDistorted chart directional_calc.rs:41-48, straight flat rays
-    h = h0 + x*tan(e), bilinear tile sampling, crossing + lerp
-    utils.rs:220-240) in independent pure-numpy f64 and compare hits.
-    The cross-generator tests catch relative drift; this pins the
-    pipeline to first principles."""
-    from fixtures import tile_grid
+    """Absolute end-to-end oracle: re-derive the whole Fast pipeline in
+    independent pure-numpy f64 (fixtures.f64_flat_straight_oracle) and
+    compare hits. The cross-generator tests catch relative drift; this
+    pins the pipeline to first principles."""
+    from fixtures import f64_flat_straight_oracle, tile_grid
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.terrain.store import Terrain, Tile
     from atm_raytracer_tpu.generators import render_fast
     from atm_raytracer_tpu.models import camera
 
-    DEG = 10_000_000.0 / 90.0  # flat-model meters per degree (mod.rs:12)
     n = 241
-    grid = tile_grid(49, 21, n).astype(np.float64)
     terrain = Terrain()
     terrain.add_tile(Tile(lat0=49, lon0=21, elev=tile_grid(49, 21, n)))
     cfg = Config.from_dict({
@@ -278,49 +274,21 @@ def test_full_pipeline_matches_independent_f64_oracle():
     })
     res = render_fast(cfg.into_params(terrain), terrain)
 
-    lat0, lon0 = 49.5, 21.5
-
-    def bilin(lat, lon):
-        u = np.clip((np.asarray(lat) - 49.0) * (n - 1), 0, n - 1)
-        v = np.clip((np.asarray(lon) - 21.0) * (n - 1), 0, n - 1)
-        i0 = np.minimum(np.floor(u).astype(int), n - 2)
-        j0 = np.minimum(np.floor(v).astype(int), n - 2)
-        fu, fv = u - i0, v - j0
-        return ((grid[i0, j0] * (1 - fu) + grid[i0 + 1, j0] * fu) * (1 - fv)
-                + (grid[i0, j0 + 1] * (1 - fu)
-                   + grid[i0 + 1, j0 + 1] * fu) * fv)
-
-    alt0 = bilin(lat0, lon0) + 30.0
-    step = 50.0
-    n_terr = int(np.ceil(8000.0 / step))
-    x = np.arange(n_terr + 1) * step
-    el = np.asarray(camera.fast_ray_elevations(24, 16, 8.0, 0.0), np.float64)
-    az = np.asarray(camera.fast_ray_azimuths(24, 16, 8.0, 70.0), np.float64)
-    azr = np.deg2rad(az)
-    lat_s = lat0 + np.cos(azr)[:, None] * x[None, :] / DEG
-    lon_s = (lon0 + np.sin(azr)[:, None] * x[None, :] / DEG
-             / np.cos(np.deg2rad(lat0)))
-    terr = bilin(lat_s, lon_s)
-    ray = alt0 + np.tan(np.deg2rad(el))[:, None] * x[None, :]
-    diff = ray[:, None, :] - terr[None, :, :]
-    cross = (diff[..., :-1] * diff[..., 1:]) < 0
-    first = np.argmax(cross, axis=-1)
-    has = cross.any(-1)
-    d0 = np.take_along_axis(diff[..., :-1], first[..., None], -1)[..., 0]
-    d1 = np.take_along_axis(diff[..., 1:], first[..., None], -1)[..., 0]
-    prop = d0 / (d0 - d1)
-    dist = (first + prop) * step
-    tb = np.broadcast_to(terr[None], diff.shape)
-    t0 = np.take_along_axis(tb[..., :-1], first[..., None], -1)[..., 0]
-    t1 = np.take_along_axis(tb[..., 1:], first[..., None], -1)[..., 0]
-    elev_hit = t0 + (t1 - t0) * prop
-
+    el = np.deg2rad(np.asarray(
+        camera.fast_ray_elevations(24, 16, 8.0, 0.0), np.float64))
+    az = np.deg2rad(np.asarray(
+        camera.fast_ray_azimuths(24, 16, 8.0, 70.0), np.float64))
+    has, dist, elev_hit, robust = f64_flat_straight_oracle(
+        tile_grid(49, 21, n).astype(np.float64), 49.5, 21.5, 30.0,
+        np.broadcast_to(el[:, None], (16, 24)),
+        np.broadcast_to(az[None, :], (16, 24)),
+        50.0, 8000.0,
+    )
     pv = np.asarray(res.hits.valid[..., 0])
     assert pv.sum() > 100  # the scene is mostly terrain
     # knife-edge pixels (f32 vs f64 sign at a grazing crossing) may differ
     assert (pv == has).mean() > 0.99
-    both = pv & has
-    robust = both & (np.minimum(np.abs(d0), np.abs(d1)) > 0.05)
+    robust &= pv
     assert robust.sum() > 100
     pd = np.asarray(res.hits.distance[..., 0])
     pe = np.asarray(res.hits.elevation[..., 0])

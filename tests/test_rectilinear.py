@@ -407,3 +407,41 @@ def test_short_march_below_one_coarse_window(tmp_path):
     params_t = Config.from_dict(d).into_params(terrain)
     rt = render_rectilinear(params_t, terrain, max_hits=1)
     assert np_.asarray(rt.hits.valid).any()
+
+
+def test_rectilinear_matches_independent_f64_oracle():
+    """Absolute oracle for the per-pixel camera path: independent pure-numpy
+    f64 re-derivation (fixtures.f64_flat_straight_oracle) over the
+    rectilinear camera's own [H, W] angle grids agrees with the rendered
+    hits (measured 9 mm max distance error)."""
+    from fixtures import f64_flat_straight_oracle, tile_grid
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators.rectilinear import render_rectilinear
+    from atm_raytracer_tpu.models.camera import rectilinear_ray_params
+    from atm_raytracer_tpu.terrain.store import Terrain, Tile
+
+    n = 241
+    terrain = Terrain()
+    terrain.add_tile(Tile(lat0=49, lon0=21, elev=tile_grid(49, 21, n)))
+    cfg = Config.from_dict({
+        "earth_shape": "FlatDistorted", "straight_rays": True,
+        "view": {"position": {"latitude": 49.5, "longitude": 21.5,
+                              "altitude": {"Relative": 30.0}},
+                 "frame": {"direction": 70.0, "fov": 8.0,
+                           "max_distance": 8000.0, "tilt": 0.0}},
+        "simulation_step": 50.0,
+        "output": {"width": 24, "height": 16},
+    })
+    res = render_rectilinear(cfg.into_params(terrain), terrain)
+    el, az = rectilinear_ray_params(24, 16, 8.0, 0.0, 70.0)  # radians [H, W]
+    has, dist, _elev, robust = f64_flat_straight_oracle(
+        tile_grid(49, 21, n).astype(np.float64), 49.5, 21.5, 30.0,
+        el, az, 50.0, 8000.0,
+    )
+    pv = np.asarray(res.hits.valid[..., 0])
+    assert pv.sum() > 100
+    assert (pv == has).mean() > 0.99
+    robust &= pv
+    assert robust.sum() > 100
+    pd = np.asarray(res.hits.distance[..., 0])
+    assert np.abs(pd - dist)[robust].max() < 0.05
