@@ -248,6 +248,55 @@ def test_progress_percent_lines(tmp_path, terrain_dir):
     assert seen2 and seen2[-1] == 100
 
 
+def test_spherical_refracted_pipeline_matches_f64_oracle():
+    """Absolute oracle for the HEADLINE physics: spherical Earth, US-76
+    refraction. Re-derives the full pipeline in independent pure-numpy f64
+    (fixtures.f64_sphere_refracted_oracle: f64 RK4 of the Fermat ODE with
+    the exact atmosphere, navigation-formula great circles, bilinear
+    sampling, crossing + lerp) and compares hits. Measured: 4 mm max
+    distance error, 0.07 mm elevation, 100% hit agreement."""
+    from fixtures import f64_sphere_refracted_oracle, tile_grid
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.terrain.store import Terrain, Tile
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.models import camera
+
+    n = 241
+    terrain = Terrain()
+    terrain.add_tile(Tile(lat0=49, lon0=21, elev=tile_grid(49, 21, n)))
+    cfg = Config.from_dict({
+        "earth_shape": "SimpleSphere",
+        "straight_rays": False,
+        "view": {"position": {"latitude": 49.5, "longitude": 21.5,
+                              "altitude": {"Relative": 50.0}},
+                 "frame": {"direction": 70.0, "fov": 8.0,
+                           "max_distance": 25000.0}},
+        "simulation_step": 50.0,
+        "output": {"width": 24, "height": 16},
+    })
+    params = cfg.into_params(terrain)
+    res = render_fast(params, terrain)
+
+    el = np.deg2rad(np.asarray(
+        camera.fast_ray_elevations(24, 16, 8.0, 0.0), np.float64))
+    az = np.deg2rad(np.asarray(
+        camera.fast_ray_azimuths(24, 16, 8.0, 70.0), np.float64))
+    has, dist, elev_hit, robust = f64_sphere_refracted_oracle(
+        tile_grid(49, 21, n).astype(np.float64), 49.5, 21.5, 50.0,
+        el, az, 50.0, 25000.0, params.atmosphere, params.wavelength,
+        6371000.0)
+
+    pv = np.asarray(res.hits.valid[..., 0])
+    assert pv.sum() > 100
+    assert (pv == has).mean() > 0.99
+    robust &= pv
+    assert robust.sum() > 100
+    pd = np.asarray(res.hits.distance[..., 0])
+    pe = np.asarray(res.hits.elevation[..., 0])
+    assert np.abs(pd - dist)[robust].max() < 0.05
+    assert np.abs(pe - elev_hit)[robust].max() < 0.005
+
+
 def test_full_pipeline_matches_independent_f64_oracle():
     """Absolute end-to-end oracle: re-derive the whole Fast pipeline in
     independent pure-numpy f64 (fixtures.f64_flat_straight_oracle) and
