@@ -222,6 +222,301 @@ def unpack_viewer_fields(
     return tuple(ViewerFields(key, la, lo, el, ranges, shape, step))
 
 
+@jax.jit
+def pack_viewer_fields_separable(key, elevation):
+    """Separable pack for Fast-generator hits: ~6 B per VALID slot.
+
+    The Fast generator is separable: a hit's (dlat, dlon) is the lerp of
+    consecutive column-geodesic samples at ``prop = key - floor(key)``
+    (generators/fast.py:219-221), fully determined by (column azimuth, key).
+    Staging therefore carries only ``key`` (f32, exact — distance and
+    validity derive from it) and range-coded elevation (u16), stream-
+    compacted to valid slots behind a u32 validity bitmask; lat/lon deltas
+    are re-derived host-side in f64 by :class:`ViewerFieldsSeparable` using
+    the same endpoint-lerp the device applied, so their error vs the staged
+    device values is the device f32 geodesic band (≤6 cm over 200 km,
+    models/earth.py geodesic_delta) — tighter than the 2^24-level coding of
+    :func:`pack_viewer_fields`.
+
+    Returns (bits u32 [ceil(P/32)], key_c f32 [P], el_c u16 [P],
+    el_ranges f32 [2], count i32) with valid entries compacted to the front
+    of key_c/el_c in flat C order; the host fetches only the first
+    ``count`` of each. Precondition: hits whose positions lie on the
+    per-column geodesic (Fast terrain hits) — callers must not use it for
+    object scenes or non-separable generators.
+    """
+    valid = jnp.isfinite(key)
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(valid, elevation, big))
+    hi = jnp.max(jnp.where(valid, elevation, -big))
+    ok = jnp.any(valid)
+    el_lo = jnp.where(ok, lo, 0.0)
+    el_hi = jnp.where(ok, hi, 0.0)
+    el = _range_code(
+        jnp.where(valid, elevation, el_lo), el_lo, el_hi, 65536.0
+    ).astype(jnp.uint16)
+
+    vflat = valid.reshape(-1)
+    p = vflat.shape[0]
+    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    idx = jnp.where(vflat, pos, p)  # invalid slots dropped by mode="drop"
+    key_c = jnp.zeros((p,), jnp.float32).at[idx].set(
+        key.reshape(-1), mode="drop"
+    )
+    el_c = jnp.zeros((p,), jnp.uint16).at[idx].set(
+        el.reshape(-1), mode="drop"
+    )
+    count = jnp.sum(vflat.astype(jnp.int32))
+
+    pad = (-p) % 32
+    vpad = jnp.concatenate(
+        [vflat, jnp.zeros((pad,), bool)]
+    ).reshape(-1, 32).astype(jnp.uint32)
+    bits = jnp.sum(
+        vpad << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+        dtype=jnp.uint32,
+    )
+    return bits, key_c, el_c, jnp.stack([el_lo, el_hi]), count
+
+
+class ViewerFieldsSeparable:
+    """Host container for the separable pack: lat/lon derived, not staged.
+
+    Same lazy surface as :class:`ViewerFields` (full-frame properties,
+    O(K)+O(1) ``pixel`` decode after a one-time index build, destructuring
+    iterator), but ``dlat``/``dlon`` are recomputed in f64 from
+    (column azimuth, key) with the device's endpoint-lerp semantics:
+    ``lerp(geodesic(az, floor(k)·step), geodesic(az, ceil(k)·step), frac)``
+    via ``model.coords_at_dist_host`` — see pack_viewer_fields_separable.
+    """
+
+    def __init__(self, bits: np.ndarray, key_c: np.ndarray,
+                 el_c: np.ndarray, el_ranges: np.ndarray,
+                 shape: Tuple[int, ...], step: float,
+                 model, lat0: float, lon0: float, az_deg: np.ndarray):
+        p = int(np.prod(shape))
+        self._bits = np.asarray(bits, np.uint32).reshape(-1)
+        if self._bits.size != (p + 31) // 32:
+            raise ValueError(
+                f"bitmask words {self._bits.size} != ceil(P/32) for P={p}"
+            )
+        self._key_c = np.asarray(key_c, np.float32).reshape(-1)
+        self._el_c = np.asarray(el_c, np.uint16).reshape(-1)
+        self.el_ranges = np.asarray(el_ranges, np.float64)
+        self.shape = tuple(shape)
+        self.step = float(step)
+        self.model = model
+        self.lat0 = float(lat0)
+        self.lon0 = float(lon0)
+        self.az_deg = np.asarray(az_deg, np.float64).reshape(-1)
+        if self.az_deg.size != self.shape[1]:
+            raise ValueError("az_deg must have one entry per column")
+        self._p = p
+        self._cache: dict = {}
+
+    @property
+    def nbytes(self) -> int:
+        """Staged payload (bitmask + compacted key/elevation segments)."""
+        return self._bits.nbytes + self._key_c.nbytes + self._el_c.nbytes
+
+    def _get(self, name, make):
+        if name not in self._cache:
+            self._cache[name] = make()
+        return self._cache[name]
+
+    # -- index machinery ----------------------------------------------------
+    @property
+    def valid(self):
+        def make():
+            w = self._bits.shape[0]
+            v = (
+                (self._bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+            ).astype(bool).reshape(w * 32)[: self._p]
+            return v.reshape(self.shape)
+
+        return self._get("valid", make)
+
+    @property
+    def _positions(self):
+        # flat slot -> compact index (valid slots only); int32 cumsum keeps
+        # the index table at 4 B/slot
+        return self._get(
+            "_positions",
+            lambda: np.cumsum(
+                self.valid.reshape(-1), dtype=np.int32
+            ) - 1,
+        )
+
+    @property
+    def _count(self) -> int:
+        return self._get(
+            "_count", lambda: int(self.valid.reshape(-1).sum())
+        )
+
+    # -- full-frame lazy arrays ----------------------------------------------
+    @property
+    def key(self):
+        def make():
+            out = np.full(self._p, np.inf, np.float32)
+            out[self.valid.reshape(-1)] = self._key_c[: self._count]
+            return out.reshape(self.shape)
+
+        return self._get("key", make)
+
+    @property
+    def distance(self):
+        # identical f32 expression to the device hit path → bit-exact
+        return self._get(
+            "distance",
+            lambda: (
+                np.where(self.valid, self.key, np.float32(0.0))
+                * np.float32(self.step)
+            ).astype(np.float32),
+        )
+
+    @property
+    def elevation(self):
+        el_lo, el_hi = self.el_ranges[0], self.el_ranges[1]
+
+        def make():
+            out = np.full(self._p, np.float32(el_lo), np.float32)
+            out[self.valid.reshape(-1)] = _decode(
+                self._el_c[: self._count].astype(np.float32),
+                el_lo, el_hi, 65536.0,
+            )
+            return out.reshape(self.shape)
+
+        return self._get("elevation", make)
+
+    def _derive_latlon(self, keys: np.ndarray, cols: np.ndarray):
+        """f64 (dlat, dlon) for valid keys in columns ``cols`` (flat arrays).
+
+        Replicates the device lerp between consecutive geodesic samples
+        (generators/fast.py:219-221): endpoints at floor/ceil of the key,
+        weights = fractional part. dlon wraps into (-180, 180] so frames
+        straddling the antimeridian stay observer-relative.
+        """
+        k = np.floor(keys.astype(np.float64))
+        frac = keys.astype(np.float64) - k
+        az = self.az_deg[cols]
+        la1, lo1 = self.model.coords_at_dist_host(
+            self.lat0, self.lon0, az, k * self.step
+        )
+        la2, lo2 = self.model.coords_at_dist_host(
+            self.lat0, self.lon0, az, (k + 1.0) * self.step
+        )
+        dlat = (la1 - self.lat0) * (1.0 - frac) + (la2 - self.lat0) * frac
+
+        def wrap(x):
+            return (x + 180.0) % 360.0 - 180.0
+
+        dlon = wrap(lo1 - self.lon0) * (1.0 - frac) + wrap(
+            lo2 - self.lon0
+        ) * frac
+        return dlat, dlon
+
+    def _latlon_full(self):
+        def make():
+            vflat = self.valid.reshape(-1)
+            idx = np.nonzero(vflat)[0]
+            k = self.shape[2] if len(self.shape) > 2 else 1
+            cols = (idx // k) % self.shape[1]
+            dlat = np.zeros(self._p, np.float64)
+            dlon = np.zeros(self._p, np.float64)
+            if idx.size:
+                dla, dlo = self._derive_latlon(self._key_c[: idx.size], cols)
+                dlat[idx] = dla
+                dlon[idx] = dlo
+            return dlat.reshape(self.shape), dlon.reshape(self.shape)
+
+        return self._get("_latlon", make)
+
+    @property
+    def dlat(self):
+        return self._latlon_full()[0]
+
+    @property
+    def dlon(self):
+        return self._latlon_full()[1]
+
+    # -- O(K) single-pixel decode (viewer click path) ------------------------
+    def pixel(self, y: int, x: int):
+        """Decode one pixel's slots → dict of [K] arrays."""
+        h, w = self.shape[0], self.shape[1]
+        k = self._p // (h * w)
+        base = (y * w + x) * k
+        vflat = self.valid.reshape(-1)[base: base + k]
+        pos = self._positions[base: base + k]
+        key = np.full(k, np.inf, np.float32)
+        el = np.zeros(k, np.float32)
+        el_lo, el_hi = self.el_ranges[0], self.el_ranges[1]
+        if vflat.any():
+            key[vflat] = self._key_c[pos[vflat]]
+            el[vflat] = _decode(
+                self._el_c[pos[vflat]].astype(np.float32),
+                el_lo, el_hi, 65536.0,
+            )
+        el[~vflat] = np.float32(el_lo)
+        dlat = np.zeros(k, np.float64)
+        dlon = np.zeros(k, np.float64)
+        if vflat.any():
+            dla, dlo = self._derive_latlon(
+                key[vflat], np.full(int(vflat.sum()), x, np.int64)
+            )
+            dlat[vflat] = dla
+            dlon[vflat] = dlo
+        return {
+            "valid": vflat,
+            "key": key,
+            "distance": (
+                np.where(vflat, key, np.float32(0.0)) * np.float32(self.step)
+            ).astype(np.float32),
+            "dlat": dlat,
+            "dlon": dlon,
+            "elevation": el,
+        }
+
+    def __iter__(self):
+        return iter(
+            (self.valid, self.key, self.distance, self.dlat, self.dlon,
+             self.elevation)
+        )
+
+
+def fetch_viewer_fields_separable(result, model, step: float):
+    """Device→host staging of Fast-generator viewer metadata, compacted.
+
+    ``result``: a RenderResult from render_fast (separable [W] azimuth
+    grid, device-resident hits, NO scene objects — object hit positions
+    are not on the column geodesic). Transfers the u32 validity bitmask
+    plus only the VALID slots' key (f32) + elevation (u16): ~6 B per valid
+    slot + P/8 bitmask bytes, vs 14 B per slot (valid or not) for
+    :func:`fetch_viewer_fields`. Sky-dominated frames cut the payload
+    2-4x on top of the dropped lat/lon segments.
+    """
+    import jax as _jax
+
+    from ..generators.base import fetch_flat_many
+
+    hits = result.hits
+    az = np.asarray(result.azimuth_deg)
+    if az.ndim != 1 or az.size != hits.key.shape[1]:
+        raise ValueError(
+            "fetch_viewer_fields_separable needs a separable [W] azimuth "
+            "grid (Fast generator)"
+        )
+    bits, key_c, el_c, ranges, count = pack_viewer_fields_separable(
+        jnp.asarray(hits.key), jnp.asarray(hits.elevation)
+    )
+    n = int(_jax.device_get(count))
+    bits_h, key_h, el_h = fetch_flat_many((bits, key_c[:n], el_c[:n]))
+    lat0, lon0 = float(result.observer[0]), float(result.observer[1])
+    return ViewerFieldsSeparable(
+        bits_h, key_h, el_h, np.asarray(ranges),
+        tuple(hits.key.shape), step, model, lat0, lon0, az,
+    )
+
+
 def fetch_viewer_fields(hits, step: float) -> ViewerFields:
     """Device→host staging of the viewer metadata via the fused pack.
 

@@ -233,18 +233,21 @@ def bench_objects(terrain):
 def bench_8k_metadata(terrain):
     """configs[3]: 8192×2048 wide-FoV multi-tile frame + per-pixel metadata.
 
-    Metadata staging uses the device-side pack (meta/pack.py): four flat
-    segments totalling 14 B/pixel-slot instead of four f32 fetches (16 B),
-    fetched with overlapped slices and decoded lazily on host. The wall
-    still includes that transfer (view-mode compatible); the dev tunnel is
-    bandwidth-limited — a real deployment pays PCIe — so the JSON also
-    reports the device-compute and transfer shares separately.
+    Metadata staging uses the SEPARABLE device-side pack (meta/pack.py):
+    the Fast generator's hit lat/lon is fully determined by (column
+    azimuth, key), so only the validity bitmask plus the valid slots' key
+    (f32) + elevation (u16) cross the link — ~6 B per valid slot instead
+    of 14 B per slot — and lat/lon re-derives host-side in f64 (tested to
+    ~mm of the staged device values). The wall still includes that
+    transfer (view-mode compatible); the dev tunnel is bandwidth-limited —
+    a real deployment pays PCIe — so the JSON also reports the
+    device-compute and transfer shares separately.
     """
     import jax
 
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.generators import render_fast
-    from atm_raytracer_tpu.meta.pack import fetch_viewer_fields
+    from atm_raytracer_tpu.meta.pack import fetch_viewer_fields_separable
 
     width, height, max_distance, step = 8192, 2048, 150_000.0, 50.0
     params = Config.from_dict(
@@ -264,15 +267,18 @@ def bench_8k_metadata(terrain):
         t1 = time.perf_counter()
         fetch_flat(r.image)  # ~50 MB u8 frame, overlapped flat fetch
         t2 = time.perf_counter()
-        # fused 14 B/px staging; decode is lazy (ViewerFields), so decode a
-        # pixel like the viewer's click path to prove the payload landed
-        vf = fetch_viewer_fields(r.hits, step)
+        # separable compact staging (bitmask + valid slots' key/elevation;
+        # scene has no objects, so hit positions lie on column geodesics);
+        # decode is lazy, so decode a pixel like the viewer's click path to
+        # prove the payload landed
+        vf = fetch_viewer_fields_separable(r, params.model, step)
         t3 = time.perf_counter()
         px = vf.pixel(height // 2, width // 2)
         assert px["key"].shape == (r.hits.key.shape[-1],)
         shares["device_s"] = round(t1 - t0, 3)
         shares["image_fetch_s"] = round(t2 - t1, 3)
         shares["meta_transfer_s"] = round(t3 - t2, 3)
+        shares["meta_mb"] = round(vf.nbytes / 1e6, 1)
         shares["pixel_decode_s"] = round(time.perf_counter() - t3, 4)
 
     wall = _timed(run, runs=2)
@@ -280,6 +286,7 @@ def bench_8k_metadata(terrain):
           note=(f"8192x2048 fov=120 +metadata; device={shares['device_s']}s "
                 f"image_fetch={shares['image_fetch_s']}s "
                 f"meta_transfer={shares['meta_transfer_s']}s "
+                f"meta_mb={shares['meta_mb']} "
                 f"pixel_decode={shares['pixel_decode_s']}s "))
 
 

@@ -105,3 +105,135 @@ def test_fetch_flat_threaded_matches_monolithic():
         jnp.float32
     )
     np.testing.assert_array_equal(fetch_flat(x), np.asarray(x))
+
+
+def _small_fast_render(tmp_path_factory):
+    """Tiny real Fast render (synthetic DTED) for separable-pack tests."""
+    import yaml
+
+    from atm_raytracer_tpu.config import parse_config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    from fixtures import make_terrain_folder
+
+    d = tmp_path_factory.mktemp("sep_terrain")
+    make_terrain_folder(d, tiles=((49, 21),), n=121)
+    cfg = {
+        "scene": {"terrain_folder": str(d)},
+        "view": {
+            "position": {
+                "latitude": 49.35,
+                "longitude": 21.30,
+                "altitude": {"Relative": 120.0},
+            },
+            "frame": {
+                "direction": 45.0,
+                "fov": 20.0,
+                "max_distance": 30000.0,
+                "tilt": 0.0,
+            },
+            "coloring": {"Shading": {"water_level": -100.0}},
+        },
+        "straight_rays": False,
+        "simulation_step": 100.0,
+        "output": {"width": 64, "height": 48},
+    }
+    p = tmp_path_factory.mktemp("sep_cfg") / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    config = parse_config(p)
+    terrain = Terrain.from_folder(str(d))
+    params = config.into_params(terrain)
+    return params, render_fast(params, terrain)
+
+
+def test_separable_pack_roundtrip(tmp_path_factory):
+    """Separable staging: key/distance bit-exact, elevation in the u16 band,
+    derived f64 lat/lon within the device f32 geodesic band of the staged
+    device values, and the payload strictly smaller than the dense pack."""
+    from atm_raytracer_tpu.meta.pack import fetch_viewer_fields_separable
+
+    params, r = _small_fast_render(tmp_path_factory)
+    step = float(params.simulation_step)
+    vf = fetch_viewer_fields_separable(r, params.model, step)
+
+    key = np.asarray(r.hits.key, np.float32)
+    valid = np.isfinite(key)
+    assert valid.any() and (~valid).any()  # scene has both ground and sky
+
+    np.testing.assert_array_equal(vf.valid, valid)
+    np.testing.assert_array_equal(vf.key[valid], key[valid])
+    expect_dist = (
+        np.where(valid, key, np.float32(0.0)) * np.float32(step)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(vf.distance, expect_dist)
+
+    elevation = np.asarray(r.hits.elevation, np.float32)
+    el_rng = float(elevation[valid].max() - elevation[valid].min())
+    assert (
+        np.abs(vf.elevation[valid] - elevation[valid]).max()
+        <= max(el_rng, 1.0) * 2.0**-15
+    )
+
+    # derived lat/lon vs the DEVICE-computed f32 hit positions: bounded by
+    # the device geodesic's own f32 band (≤6 cm ≈ 5.4e-7° over 200 km;
+    # models/earth.py geodesic_delta) plus lerp round-off
+    dlat_dev = np.asarray(r.hits.dlat, np.float64)
+    dlon_dev = np.asarray(r.hits.dlon, np.float64)
+    assert np.abs(vf.dlat[valid] - dlat_dev[valid]).max() < 1.5e-6
+    assert np.abs(vf.dlon[valid] - dlon_dev[valid]).max() < 1.5e-6
+
+    # payload: bitmask + 6 B/valid-slot, strictly under the dense 14 B/slot
+    p = int(np.prod(key.shape))
+    assert vf.nbytes == (p + 31) // 32 * 4 + int(valid.sum()) * 6
+    assert vf.nbytes < 14 * p
+
+    # O(K) pixel decode agrees with the full-frame arrays
+    ys, xs = np.nonzero(valid[..., 0])
+    y, x = int(ys[len(ys) // 2]), int(xs[len(xs) // 2])
+    px = vf.pixel(y, x)
+    np.testing.assert_array_equal(px["valid"], valid[y, x])
+    np.testing.assert_array_equal(px["key"], vf.key[y, x])
+    np.testing.assert_array_equal(px["distance"], vf.distance[y, x])
+    np.testing.assert_array_equal(px["elevation"], vf.elevation[y, x])
+    np.testing.assert_allclose(px["dlat"], vf.dlat[y, x], atol=1e-12)
+    np.testing.assert_allclose(px["dlon"], vf.dlon[y, x], atol=1e-12)
+    # a sky pixel decodes as all-invalid
+    sky_rows = np.nonzero(~valid.any(axis=(1, 2)))[0]
+    if sky_rows.size:
+        px0 = vf.pixel(int(sky_rows[0]), 0)
+        assert not px0["valid"].any()
+        assert (px0["distance"] == 0).all()
+
+
+def test_separable_pack_empty_frame():
+    """All-sky frame: zero compacted payload, empty decode everywhere."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.generators.base import HitBuffer, RenderResult
+    from atm_raytracer_tpu.meta.pack import fetch_viewer_fields_separable
+    from atm_raytracer_tpu.models.earth import EarthModel
+
+    shape = (5, 7, 1)
+    inf = jnp.full(shape, jnp.inf, jnp.float32)
+    z = jnp.zeros(shape, jnp.float32)
+    hits = HitBuffer(
+        valid=jnp.zeros(shape, bool), key=inf, dlat=z, dlon=z, distance=z,
+        elevation=z, path_length=z,
+        normal=jnp.zeros(shape + (3,), jnp.float32),
+        kind=jnp.zeros(shape, jnp.int32),
+        rgba=jnp.zeros(shape + (4,), jnp.float32),
+    )
+    r = RenderResult(
+        image=None, hits=hits,
+        elevation_deg=np.linspace(-1, 1, 5),
+        azimuth_deg=np.linspace(44, 46, 7),
+        observer=(49.0, 21.0, 300.0),
+    )
+    model = EarthModel.from_config("SimpleSphere")
+    vf = fetch_viewer_fields_separable(r, model, 50.0)
+    assert not vf.valid.any()
+    assert (vf.distance == 0).all()
+    assert vf.nbytes == ((5 * 7 + 31) // 32) * 4
+    px = vf.pixel(2, 3)
+    assert not px["valid"].any()
