@@ -483,7 +483,7 @@ class ViewerFieldsSeparable:
         )
 
 
-def fetch_viewer_fields_separable(result, model, step: float):
+def fetch_viewer_fields_separable(result, model, step: float, co_fetch=()):
     """Device→host staging of Fast-generator viewer metadata, compacted.
 
     ``result``: a RenderResult from render_fast (separable [W] azimuth
@@ -493,6 +493,13 @@ def fetch_viewer_fields_separable(result, model, step: float):
     slot + P/8 bitmask bytes, vs 14 B per slot (valid or not) for
     :func:`fetch_viewer_fields`. Sky-dominated frames cut the payload
     2-4x on top of the dropped lat/lon segments.
+
+    ``co_fetch``: extra device arrays (e.g. the rendered image) staged
+    through the SAME overlap pool as the metadata segments — the dev
+    tunnel pipelines concurrent requests, so co-fetching hides one
+    transfer behind the other instead of paying them back to back.
+    Returns the ViewerFieldsSeparable alone when ``co_fetch`` is empty,
+    else ``(vf, [flat extras...])``.
     """
     import jax as _jax
 
@@ -509,12 +516,15 @@ def fetch_viewer_fields_separable(result, model, step: float):
         jnp.asarray(hits.key), jnp.asarray(hits.elevation)
     )
     n = int(_jax.device_get(count))
-    bits_h, key_h, el_h = fetch_flat_many((bits, key_c[:n], el_c[:n]))
+    co_fetch = tuple(co_fetch)
+    fetched = fetch_flat_many((bits, key_c[:n], el_c[:n]) + co_fetch)
+    bits_h, key_h, el_h = fetched[:3]
     lat0, lon0 = float(result.observer[0]), float(result.observer[1])
-    return ViewerFieldsSeparable(
+    vf = ViewerFieldsSeparable(
         bits_h, key_h, el_h, np.asarray(ranges),
         tuple(hits.key.shape), step, model, lat0, lon0, az,
     )
+    return (vf, fetched[3:]) if co_fetch else vf
 
 
 def fetch_viewer_fields(hits, step: float) -> ViewerFields:

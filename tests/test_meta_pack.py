@@ -155,7 +155,14 @@ def test_separable_pack_roundtrip(tmp_path_factory):
 
     params, r = _small_fast_render(tmp_path_factory)
     step = float(params.simulation_step)
+    # co_fetch stages extras through the same pool: image bytes intact and
+    # the return shape switches to (vf, extras)
+    vf_co, (img,) = fetch_viewer_fields_separable(
+        r, params.model, step, co_fetch=(r.image,)
+    )
+    np.testing.assert_array_equal(img, np.asarray(r.image).reshape(-1))
     vf = fetch_viewer_fields_separable(r, params.model, step)
+    np.testing.assert_array_equal(vf_co.valid, vf.valid)
 
     key = np.asarray(r.hits.key, np.float32)
     valid = np.isfinite(key)
