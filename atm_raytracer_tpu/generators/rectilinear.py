@@ -48,6 +48,8 @@ from ..ops.objects import ObjectSet, merge_hits, object_hits_pixelwise
 from ..physics.ray import (
     EarthShape,
     RefractionTable,
+    hermite_coeffs,
+    hermite_plane,
     march_coarse,
     march_rays,
     march_scan,
@@ -157,57 +159,88 @@ def fused_shared_core(
 
     if k == 1:
         # opaque fast path: the scan only answers "does this window contain
-        # a sign change?" (min over d1·d2 — 3 cube passes, no segment
-        # indices) and captures the window-start ODE state of each pixel's
-        # FIRST such window. Path length advances by RK4 quadrature
+        # a sign change?" and captures the window-start ODE state of each
+        # pixel's FIRST such window. Path length advances by RK4 quadrature
         # (march_scan_light), and the exact segment, prop and path length
         # come from ONE post-scan re-expansion of the captured window. The
         # fine chord machinery + per-segment bookkeeping inside the scan
         # cost more than the whole rest of the march (measured 0.41 s +
-        # 0.3 s of a 2.2 s scan at 1080p/200 km).
+        # 0.3 s of a 2.2 s scan at 1080p/200 km). The crossing test streams
+        # the fine samples plane by plane via hermite_plane (pass_nodes
+        # contract): the [H, W, C+1] fine cube never reaches HBM — its
+        # write+read was ~200 ms of a 1080p render — and the scan body's
+        # whole window test fuses into one pass over the [P] node vectors.
         big_w = jnp.int32(n_coarse + 1)
+        coeffs = hermite_coeffs(coarse)
+        dxw = jnp.float32(step * coarse)
 
-        def consumer(carry, k0, h_f, alive0, state):
+        def consumer(carry, k0, nodes, alive0):
+            # the march runs on [H, W]-shaped state (march_scan_light is
+            # shape-agnostic in pass_nodes mode): every plane op below is
+            # natively 2-D, so no [P]↔[H, W] relayout copies appear in the
+            # scan body (measured ~110 ms/render of in-loop data formatting
+            # with flat state)
             best_w, s_h, s_v, s_p = carry
-            c = h_f.shape[1] - 1
-            hw = h_f.reshape(h_n, w_n, c + 1)
-            t_sl = jax.lax.dynamic_slice(terr_pad, (0, k0), (w_n, c + 1))
-            d = hw - t_sl[None, :, :]
-            mn = jnp.min(d[..., :-1] * d[..., 1:], axis=-1)  # [H, W]
+            h0, v0, h1, v1, p0 = nodes
+            vdx = v0 * dxw
+            v1dx = v1 * dxw
+            t_sl = jax.lax.dynamic_slice(
+                terr_pad, (0, k0), (w_n, coarse + 1)
+            )
+            # streamed min over segment products (hj - tj)·(hj1 - tj1):
+            # bitwise the cube form's min (min is order-free; plane values
+            # are hermite_window's, see hermite_plane)
+            mn = None
+            win_min = None
+            d_prev = None
+            for j in range(coarse + 1):
+                hj = hermite_plane(h0, vdx, h1, v1dx, coeffs, j)  # [H, W]
+                if j < coarse:
+                    win_min = hj if j == 0 else jnp.minimum(win_min, hj)
+                dj = hj - t_sl[:, j][None, :]
+                if d_prev is not None:
+                    pr = d_prev * dj
+                    mn = pr if mn is None else jnp.minimum(mn, pr)
+                d_prev = dj
             has = (
                 (mn < 0.0)
-                & alive0.reshape(h_n, w_n)  # alive at window start
+                & alive0  # alive at window start
                 & (best_w >= big_w)
             )
             # within-window death or the final window's padded tail can make
             # this a false positive — the post-scan exact test resolves both
-            h0, v0, p0 = state
-            s_h = jnp.where(has, h0.reshape(h_n, w_n), s_h)
-            s_v = jnp.where(has, v0.reshape(h_n, w_n), s_v)
-            s_p = jnp.where(has, p0.reshape(h_n, w_n), s_p)
+            s_h = jnp.where(has, h0, s_h)
+            s_v = jnp.where(has, v0, s_v)
+            s_p = jnp.where(has, p0, s_p)
             best_w = jnp.where(has, jnp.int32(k0 // coarse), best_w)
             if with_progress:
-                _progress_emit(k0, c)
-            return best_w, s_h, s_v, s_p
+                _progress_emit(k0, coarse)
+            return (best_w, s_h, s_v, s_p), win_min
 
         z2 = jnp.zeros((h_n, w_n), jnp.float32)
         best_w, s_h, s_v, s_p = march_scan_light(
-            alt0, elev_hw.reshape(-1), step, n_seg, shape, table, straight,
+            alt0, elev_hw, step, n_seg, shape, table, straight,
             consumer,
             (jnp.full((h_n, w_n), big_w, jnp.int32), z2, z2, z2),
-            coarse=coarse,
+            coarse=coarse, pass_nodes=True,
         )
         # -- post: re-expand the captured window (bitwise the fine values
-        # the scan saw) and run the exact per-segment test as [H, W] planes.
+        # the scan saw: same hermite_plane expression, node states from the
+        # identical-h/v rk4 re-step) and run the exact per-segment test as
+        # [H, W] planes.
         valid_w = best_w < big_w
         bw = jnp.where(valid_w, best_w, 0)
-        h_fw, plen_fw, _, _ = rk4_window(
+        _, plen_fw, h1w, v1w = rk4_window(
             s_h.reshape(-1), s_v.reshape(-1), s_p.reshape(-1),
             step, coarse, table, straight, shape.radius,
-        )  # [P, C+1]
-        h_pl = jax.lax.optimization_barrier(
-            jnp.moveaxis(h_fw.reshape(h_n, w_n, coarse + 1), -1, 0)
-        )  # [C+1, H, W] planes
+        )  # [P, C+1] path lengths + window-end node state
+        s_vdx = s_v.reshape(-1) * dxw
+        v1dxw = v1w * dxw
+        h_pl = [
+            hermite_plane(s_h.reshape(-1), s_vdx, h1w, v1dxw, coeffs, j)
+            .reshape(h_n, w_n)
+            for j in range(coarse + 1)
+        ]  # (C+1)×[H, W] planes
         p_pl = jax.lax.optimization_barrier(
             jnp.moveaxis(plen_fw.reshape(h_n, w_n, coarse + 1), -1, 0)
         )

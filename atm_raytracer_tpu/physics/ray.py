@@ -375,16 +375,42 @@ def _rk4_step_quad(h, v, p, dx, table, radius, straight):
     return h_new, v_new, p_new
 
 
-def hermite_window(h, v, h1, v1, dx_window, coarse):
-    """Fine Hermite samples [B, C+1] of one coarse window from its node
-    states — the same dense output rk4_window produces."""
-    t = (jnp.arange(coarse + 1, dtype=jnp.float32) / jnp.float32(coarse))[None, :]
+def hermite_coeffs(coarse):
+    """The [C+1] Hermite basis vectors shared by every dense-output form.
+
+    ONE copy of the basis arithmetic: ``hermite_window`` (the [B, C+1]
+    cube form) and ``hermite_plane`` (the per-sample [B] plane form) both
+    index these exact folded constants, so the two evaluation orders
+    produce bitwise-identical fine samples — the invariant the fused
+    Rectilinear's scan-time test vs post-scan re-expansion relies on.
+    """
+    t = jnp.arange(coarse + 1, dtype=jnp.float32) / jnp.float32(coarse)
     t2 = t * t
     t3 = t2 * t
     b00 = 2.0 * t3 - 3.0 * t2 + 1.0
     b10 = t3 - 2.0 * t2 + t
     b01 = -2.0 * t3 + 3.0 * t2
     b11 = t3 - t2
+    return b00, b10, b01, b11
+
+
+def hermite_plane(h, vdx, h1, v1dx, coeffs, j):
+    """ONE fine Hermite sample [B] (index ``j`` of the window) from node
+    states, with ``vdx = v·dx_window`` / ``v1dx = v1·dx_window`` hoisted.
+
+    Same multiply/add association as ``hermite_window``'s element [i, j],
+    so the values are bitwise those of the cube form — but evaluating
+    plane by plane lets a consumer stream the crossing test without the
+    [B, C+1] cube ever reaching HBM (the cube write+read was ~200 ms of a
+    1080p Rectilinear render)."""
+    b00, b10, b01, b11 = coeffs
+    return b00[j] * h + b10[j] * vdx + b01[j] * h1 + b11[j] * v1dx
+
+
+def hermite_window(h, v, h1, v1, dx_window, coarse):
+    """Fine Hermite samples [B, C+1] of one coarse window from its node
+    states — the same dense output rk4_window produces."""
+    b00, b10, b01, b11 = (c[None, :] for c in hermite_coeffs(coarse))
     return (
         b00 * h[:, None] + b10 * (v * dx_window)[:, None]
         + b01 * h1[:, None] + b11 * (v1 * dx_window)[:, None]
@@ -403,6 +429,7 @@ def march_scan_light(
     init_carry,
     coarse: int = 1,
     group: int = 0,
+    pass_nodes: bool = False,
 ):
     """Fused march WITHOUT the fine path-length machinery.
 
@@ -423,6 +450,19 @@ def march_scan_light(
       re-expand the window, so only the window-level flag is kept.
     * ``(h0, v0, p0)`` — [B] ODE state and path length at the window start.
 
+    ``pass_nodes=True`` switches to the zero-cube contract:
+
+        carry, win_min = consumer(carry, k0, (h0, v0, h1, v1, p0), alive0)
+
+    The consumer gets BOTH window node states and evaluates whatever fine
+    samples it needs via ``hermite_plane`` (bitwise the ``h_f`` values), so
+    the [B, C+1] cube never materializes in HBM; it must return
+    ``win_min`` = the minimum of its fine altitudes at j = 0..C-1 (the
+    ``h_f[:, :-1]`` min — exact, min is order-free), from which the scan
+    maintains the death flag. In this mode ``elev_rad`` may have ANY shape
+    (everything is elementwise): pass it [H, W] so the consumer's plane
+    math runs natively 2-D with no [B]↔[H, W] relayouts in the scan body.
+
     Returns the final consumer carry.
     """
     elev_rad = jnp.asarray(elev_rad, jnp.float32)
@@ -442,11 +482,13 @@ def march_scan_light(
         for g in range(group):
             k0 = (i * group + g) * coarse
             h1, v1, p1 = _rk4_step_quad(h, v, p, dx, table, radius, straight)
-            h_f = hermite_window(h, v, h1, v1, dx, coarse)
-            user = consumer(user, k0, h_f, ~dead, (h, v, p))
-            dead = dead | (
-                jnp.min(h_f[:, :-1], axis=-1) < jnp.float32(DEATH_ALTITUDE)
-            )
+            if pass_nodes:
+                user, win_min = consumer(user, k0, (h, v, h1, v1, p), ~dead)
+            else:
+                h_f = hermite_window(h, v, h1, v1, dx, coarse)
+                user = consumer(user, k0, h_f, ~dead, (h, v, p))
+                win_min = jnp.min(h_f[:, :-1], axis=-1)
+            dead = dead | (win_min < jnp.float32(DEATH_ALTITUDE))
             h, v, p = h1, v1, p1
         return (h, v, p, dead, user), None
 
