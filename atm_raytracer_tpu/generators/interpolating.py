@@ -167,11 +167,13 @@ def _interp_weights(present: jnp.ndarray, rem_e: jnp.ndarray, rem_d: jnp.ndarray
 
 
 def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
-                        k_out: int) -> HitBuffer:
+                        k_out: int, has_objects: bool = True) -> HitBuffer:
     """Per-output-pixel corner gather + grouping + interpolation.
 
     grid: HitBuffer [H', W', K]; gi/gj: [H, W] corner indices into the grid;
-    rem_e/rem_d: [H, W] fractional positions.
+    rem_e/rem_d: [H, W] fractional positions. ``has_objects=False`` packs
+    only the nine non-constant channels into the corner-gather rows (see
+    below) — outputs are identical either way.
 
     Grouping is the reference's collect_trace_points (:213-243) EXACTLY:
     entries iterate in corner-major creation order (SEQUENCE corners, each
@@ -196,17 +198,30 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
     # of every slot of a grid cell is packed into one contiguous row, rows of
     # horizontally-ADJACENT cells are concatenated (the 4 corners are two
     # adjacent pairs), and one gather per corner row delivers everything.
-    _CH = ("valid", "dlat", "dlon", "distance", "elevation", "path_length",
-           "nx", "ny", "nz", "kind", "cr", "cg", "cb", "ca")
+    # Within a launch the fetch count is ceil(row_f32/8) sublane groups, so
+    # a no-object scene drops the five channels that are then compile-time
+    # constants (kind = 0, rgba = [0,0,0,terrain_alpha]): 14 → 9 channels
+    # shaves a sublane group off every corner fetch; the constants are
+    # re-broadcast below and fold into the weight arithmetic.
+    if has_objects:
+        _CH = ("valid", "dlat", "dlon", "distance", "elevation",
+               "path_length", "nx", "ny", "nz", "kind", "cr", "cg", "cb",
+               "ca")
+    else:
+        _CH = ("valid", "dlat", "dlon", "distance", "elevation",
+               "path_length", "nx", "ny", "nz")
     n_ch = len(_CH)
     comp = [
         grid.valid.astype(jnp.float32), grid.dlat, grid.dlon, grid.distance,
         grid.elevation, grid.path_length,
         grid.normal[..., 0], grid.normal[..., 1], grid.normal[..., 2],
-        grid.kind.astype(jnp.float32),
-        grid.rgba[..., 0], grid.rgba[..., 1], grid.rgba[..., 2],
-        grid.rgba[..., 3],
     ]
+    if has_objects:
+        comp += [
+            grid.kind.astype(jnp.float32),
+            grid.rgba[..., 0], grid.rgba[..., 1], grid.rgba[..., 2],
+            grid.rgba[..., 3],
+        ]
     packed = jnp.stack(comp, axis=-1).reshape(hp, wp, kg * n_ch)
     pair = jnp.concatenate([packed[:, :-1], packed[:, 1:]], axis=-1).reshape(
         hp * (wp - 1), 2 * kg * n_ch
@@ -235,6 +250,17 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
         return jnp.stack(planes, axis=0)
 
     ent = {name: entry_planes(name) for name in _CH if name != "valid"}
+    if not has_objects:
+        # constants for terrain-only scenes (fast.py builds every slot's
+        # rgba as [0, 0, 0, terrain_alpha] and kind as 0 regardless of
+        # validity, and invalid entries never reach a group): broadcast,
+        # never gathered nor materialized
+        zero = jnp.broadcast_to(
+            jnp.float32(0.0), (e_n, h_n, w_n)
+        )
+        ent["kind"] = zero
+        ent["cr"] = ent["cg"] = ent["cb"] = zero
+        ent["ca"] = jnp.broadcast_to(grid.rgba[0, 0, 0, 3], (e_n, h_n, w_n))
     in_grid = (
         (gi >= 0) & (gi + 1 < hp) & (gj >= 0) & (gj + 1 < wp)
     )
@@ -382,13 +408,27 @@ def interpolating_core(
             for x in (gi, gj, rem_e, rem_d)
         )
 
+    # grid slot count vs OUTPUT slot count are different knobs: an opaque
+    # no-object scene puts at most ONE trace point in any grid cell, so a
+    # second grid slot is always-invalid ballast that doubles the packed
+    # corner-gather rows (the gather pays ~10 ns per 8-f32 sublane group per
+    # pixel — measured 2×150 ms at 1080p with kg=2). k_out keeps the full
+    # 2·max_hits so the 4 corner-major groups still all fit: outputs are
+    # bit-identical (invalid entries never join groups).
+    grid_hits = (
+        1 if (objects is None and terrain_alpha >= 1.0) else max_hits
+    )
     grid = separable_hits(
         pack, table, objects, grid_elev_deg, grid_az_deg, alt0,
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
-        max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
+        max_hits=grid_hits, lat0=lat0, lon0=lon0,
+        terrain_alpha=terrain_alpha,
         obj_windows=obj_windows, with_progress=with_progress,
     )
-    hits = _interpolate_pixels(grid, gi, gj, rem_e, rem_d, step, 2 * grid.k_slots)
+    hits = _interpolate_pixels(
+        grid, gi, gj, rem_e, rem_d, step, 2 * max_hits,
+        has_objects=objects is not None,
+    )
     image = composite(
         coloring, fog_distance,
         hits.valid, hits.rgba[..., 3], hits.distance, hits.elevation,
