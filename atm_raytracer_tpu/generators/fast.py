@@ -201,28 +201,35 @@ def separable_hits(
 
     # 4. field gathers (TracingState::interpolate semantics, utils.rs:108-133)
     # — paired-endpoint gathers shared between prop reconstruction and the
-    # field lerps (contiguous multi-channel rows amortize the random access)
+    # field lerps (contiguous multi-channel rows amortize the random access).
+    # TPU gather cost is per LAUNCH in units of 8-f32 sublane groups, so the
+    # column stack carries only elevation + normal (4 ch → 8 per pair-row =
+    # exactly one group); the hit's dlat/dlon are re-derived per PIXEL from
+    # (column azimuth, key·step) with the SAME geodesic the [W, N] cache was
+    # built from — evaluating the curve at the lerped distance instead of
+    # lerping the curve's endpoints (agreement ~1e-5 m over a 50 m segment,
+    # the viewer's separable pack already round-trips positions this way).
     stacked = jnp.concatenate(
-        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
-        axis=-1,
-    )  # [W, N, 6]
-    c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 6] ×2
+        [terr_elev[..., None], terr_normal], axis=-1
+    )  # [W, N, 4]
+    c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 4] ×2
     ray_stack = jnp.stack([ray_h, path_len], axis=-1)  # [H, N, 2]
     r_lo, r_hi = combine.gather_ray_pairs(ray_stack, ks)
-    d1 = r_lo[..., 0] - c_lo[..., 2]
-    d2 = r_hi[..., 0] - c_hi[..., 2]
+    d1 = r_lo[..., 0] - c_lo[..., 0]
+    d2 = r_hi[..., 0] - c_hi[..., 0]
     denom = d1 - d2
     prop = d1 / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
     keys = jnp.where(valid, ks.astype(jnp.float32) + prop, combine.NO_HIT)
     safe_keys = jnp.where(valid, keys, 0.0)
 
     hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
-    hit_dlat = hit_stack[..., 0]
-    hit_dlon = hit_stack[..., 1]
-    hit_elev = hit_stack[..., 2]
-    hit_normal = hit_stack[..., 3:6]
+    hit_elev = hit_stack[..., 0]
+    hit_normal = hit_stack[..., 1:4]
     hit_plen = r_lo[..., 1] * (1.0 - prop) + r_hi[..., 1] * prop
     hit_dist = safe_keys * jnp.float32(step)  # dist is linear in the key
+    hit_dlat, hit_dlon = model.geodesic_delta(
+        lat0, lon0, az_deg.astype(jnp.float32)[None, :, None], hit_dist
+    )  # [H, W, K] each
 
     h_n, w_n = elev_deg.shape[0], az_deg.shape[0]
     rgba = jnp.zeros((h_n, w_n, max_hits, 4), jnp.float32)
@@ -297,13 +304,15 @@ def _separable_hit_planes(
     # delivers all channels at both segment endpoints — gather cost on TPU
     # is per random-access ROW, so 12 single-element index streams cost ~10×
     # one 12-lane row stream (measured 854 ms vs 90 ms for the K=4 slots)
+    # only elevation + normal ride the gathered rows (8 ch = ONE sublane
+    # group per row); the hit's dlat/dlon re-derives per pixel from
+    # (column azimuth, key·step) exactly as in ``separable_hits``
     col_stack = jnp.concatenate(
-        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
-        axis=-1,
-    )  # [W, N, 6]
+        [terr_elev[..., None], terr_normal], axis=-1
+    )  # [W, N, 4]
     col_pairs = jnp.concatenate(
         [col_stack[:, :-1, :], col_stack[:, 1:, :]], axis=-1
-    ).reshape(-1, 12)  # [W·(N-1), 12] lo-channels then hi-channels
+    ).reshape(-1, 8)  # [W·(N-1), 8] lo-channels then hi-channels
     ray_pairs = jnp.stack(
         [ray_h[:, :-1], path_len[:, :-1], ray_h[:, 1:], path_len[:, 1:]],
         axis=-1,
@@ -324,25 +333,29 @@ def _separable_hit_planes(
         # under plane-slice consumers pads ~10× — see the docstring)
         row_c = jnp.take(col_pairs, w_iota * (n_col - 1) + ks, axis=0)
         gc = jax.lax.optimization_barrier(jnp.moveaxis(row_c, -1, 0))
-        # [12, H, W]: channels (dlat,dlon,elev,n0,n1,n2) lo then hi
+        # [8, H, W]: channels (elev,n0,n1,n2) lo then hi
         row_r = jnp.take(ray_pairs, h_iota * (n_ray - 1) + ks, axis=0)
         gr = jax.lax.optimization_barrier(jnp.moveaxis(row_r, -1, 0))
         # [4, H, W]: (ray_h, path_len) lo then (ray_h, path_len) hi
-        d1 = gr[0] - gc[2]
-        d2 = gr[2] - gc[8]
+        d1 = gr[0] - gc[0]
+        d2 = gr[2] - gc[4]
         denom = d1 - d2
         prop = d1 / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
         keyf = ks.astype(jnp.float32) + prop
         lerp = lambda lo, hi: jnp.where(
             valid_k, lo * (1.0 - prop) + hi * prop, 0.0
         )
+        hd_lat, hd_lon = model.geodesic_delta(
+            lat0, lon0, az_deg.astype(jnp.float32)[None, :],
+            jnp.where(valid_k, keyf * jnp.float32(step), 0.0),
+        )
         planes["key"].append(jnp.where(valid_k, keyf, combine.NO_HIT))
-        planes["dlat"].append(lerp(gc[0], gc[6]))
-        planes["dlon"].append(lerp(gc[1], gc[7]))
-        planes["elevation"].append(lerp(gc[2], gc[8]))
-        planes["nx"].append(lerp(gc[3], gc[9]))
-        planes["ny"].append(lerp(gc[4], gc[10]))
-        planes["nz"].append(lerp(gc[5], gc[11]))
+        planes["dlat"].append(jnp.where(valid_k, hd_lat, 0.0))
+        planes["dlon"].append(jnp.where(valid_k, hd_lon, 0.0))
+        planes["elevation"].append(lerp(gc[0], gc[4]))
+        planes["nx"].append(lerp(gc[1], gc[5]))
+        planes["ny"].append(lerp(gc[2], gc[6]))
+        planes["nz"].append(lerp(gc[3], gc[7]))
         planes["path_length"].append(lerp(gr[1], gr[3]))
         planes["distance"].append(
             jnp.where(valid_k, keyf * jnp.float32(step), 0.0)
