@@ -32,7 +32,7 @@ from ..models.earth import EarthModel
 from ..ops import combine
 from ..ops.composite import composite
 from ..physics.ray import EarthShape, RefractionTable, march_coarse, march_rays
-from ..terrain.sample import sample_terrain_data
+from ..terrain.sample import paired_step_ok, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult
 from ..ops.objects import (
@@ -184,7 +184,10 @@ def separable_hits(
     dlat, dlon = model.geodesic_delta(
         lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
     )  # [W, n_terr]
-    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+    terr_elev, terr_normal = sample_terrain_data(
+        pack, model, dlat, dlon, lat0, lon0,
+        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+    )
 
     # 3. crossing segments [H, W, K] (int32). The chunked XLA combine fuses
     # into sign-test + integer min — the fractional hit position is a
@@ -291,7 +294,10 @@ def _separable_hit_planes(
     dlat, dlon = model.geodesic_delta(
         lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
     )  # [W, n_terr]
-    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+    terr_elev, terr_normal = sample_terrain_data(
+        pack, model, dlat, dlon, lat0, lon0,
+        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+    )
 
     n_seg = n_terr - 1
     segs = combine.terrain_crossing_segments(ray_h, terr_elev, n_seg, max_hits)

@@ -271,6 +271,47 @@ class EarthModel:
         # other models).
         return _vincenty_delta_device(m.a, m.b, lat0, az, dist)
 
+    def max_deg_rates(self, lat0: float, max_dist: float):
+        """Conservative bounds on |d(dlat)/dd| and |d(dlon)/dd| (deg per
+        meter of ground distance) along ANY geodesic of ``geodesic_delta``
+        within ``max_dist`` of the observer.
+
+        Sizes the static gate of the paired terrain sampler (two march
+        samples per gather row need both samples' bilinear cells inside one
+        4×4 post window). Returns (inf, inf) when no finite bound exists
+        (e.g. the path can reach a pole where meridians converge).
+        """
+        import math as _m
+
+        inf = float("inf")
+        m = self._canonical()
+        if m.kind == "FlatDistorted":
+            return (1.0 / DEGREE_DISTANCE,
+                    1.0 / (DEGREE_DISTANCE * _m.cos(_m.radians(lat0))))
+        if m.kind == "AzimuthalEquidistant":
+            # dlon = atan2 about the pole: rate ≤ (180/π)/r_min
+            r0 = (90.0 - lat0) * DEGREE_DISTANCE
+            r_min = r0 - max_dist
+            if r_min <= 1.0:
+                return (inf, inf)
+            return (1.0 / DEGREE_DISTANCE, _m.degrees(1.0) / r_min)
+        if m.kind in ("Spherical", "ObserverAe"):
+            lat_reach = abs(lat0) + _m.degrees(max_dist / m.radius)
+            if lat_reach >= 89.9:
+                return (inf, inf)
+            rate = _m.degrees(1.0) / m.radius
+            return (rate, rate / _m.cos(_m.radians(lat_reach)))
+        # Ellipsoid: min curvature radii bound the angular rates; the
+        # meridian radius is smallest at the equator (a(1−e²)), the prime
+        # vertical is ≥ b. 2% slack covers the f32 delta form.
+        e2 = 1.0 - (m.b * m.b) / (m.a * m.a)
+        lat_reach = abs(lat0) + _m.degrees(max_dist / m.b)
+        if lat_reach >= 89.9:
+            return (inf, inf)
+        rate_lat = 1.02 * _m.degrees(1.0) / (m.a * (1.0 - e2))
+        rate_lon = 1.02 * _m.degrees(1.0) / (m.b * _m.cos(_m.radians(lat_reach)))
+        return (rate_lat, rate_lon)
+
     # -- normal-sampling offsets ---------------------------------------------------
 
     def normal_offsets(self, lat):

@@ -472,7 +472,7 @@ def march_scan_light(
     coarse = max(1, min(int(coarse), n_steps))
     n_coarse = -(-n_steps // coarse)
     if group <= 0:
-        group = 8 if jax.default_backend() == "tpu" else 1
+        group = 8 if jax.default_backend() != "cpu" else 1
     group = max(1, min(int(group), n_coarse))
     n_outer = -(-n_coarse // group)
     dx = jnp.float32(step * coarse)
@@ -558,7 +558,7 @@ def march_scan(
     coarse = max(1, min(int(coarse), n_steps))
     n_coarse = -(-n_steps // coarse)
     if group <= 0:
-        group = 8 if jax.default_backend() == "tpu" else 1
+        group = 8 if jax.default_backend() != "cpu" else 1
     group = max(1, min(int(group), n_coarse))
     n_outer = -(-n_coarse // group)
 
@@ -710,7 +710,7 @@ def march_rays(
     # xs stays None when progress is off so the HLO — and the persistent
     # compile cache entry — is identical to a march without the hook.
     xs = jnp.arange(n_coarse, dtype=jnp.int32) if progress else None
-    unroll = min(8, n_coarse) if jax.default_backend() == "tpu" else 1
+    unroll = min(8, n_coarse) if jax.default_backend() != "cpu" else 1
     (_, _), (hs, vs) = jax.lax.scan(
         body, (alt, v0), xs, length=None if progress else n_coarse,
         unroll=unroll,

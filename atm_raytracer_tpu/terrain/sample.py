@@ -21,21 +21,10 @@ from ..models.earth import EarthModel, NORMAL_DIFF
 from .store import TerrainPack
 
 
-def sample_elevation(
-    pack: TerrainPack,
-    dlat: jnp.ndarray,
-    dlon: jnp.ndarray,
-    lat0: float,
-    lon0: float,
-    with_gradient: bool = False,
-):
-    """Bilinear elevation at (lat0+dlat, lon0+dlon); missing tiles → 0.0.
-
-    dlat/dlon: f32 arrays (any shape), degrees relative to the observer.
-    lat0/lon0: observer absolute position (python floats, static).
-    with_gradient: also return (dE/dlat, dE/dlon) in meters per degree — the
-    exact gradient of the sampled bilinear patch, reusing the same 4 taps.
-    """
+def _locate(pack: TerrainPack, dlat, dlon, lat0: float, lon0: float):
+    """Map observer-relative degrees to (validity, tile slot coords, cell
+    indices, cell fractions, per-tile scales) — the shared prologue of every
+    sampling path (plain quad, paired win4)."""
     lat0_floor = math.floor(lat0)
     lon0_floor = math.floor(lon0)
     a_lat = jnp.float32(lat0 - lat0_floor) + dlat  # tile-continuous coordinate
@@ -69,13 +58,37 @@ def sample_elevation(
     ci = jnp.minimum(jnp.floor(c), t_cols_m1 - 1.0).astype(jnp.int32)
     rf = r - ri.astype(jnp.float32)
     cf = c - ci.astype(jnp.float32)
+    # raw (unclipped) tile cells ride along for the paired sampler: an
+    # out-of-mosaic sample must root its shared window at the NEAREST
+    # boundary post cell, not at the tile-clipped slot (whose in-next-tile
+    # fraction would park the window a full tile away from a valid partner)
+    return (valid, t, row_c, col_c, t_rows_m1, t_cols_m1, ri, ci, rf, cf,
+            row_cell, col_cell)
 
+
+def sample_elevation(
+    pack: TerrainPack,
+    dlat: jnp.ndarray,
+    dlon: jnp.ndarray,
+    lat0: float,
+    lon0: float,
+    with_gradient: bool = False,
+):
+    """Bilinear elevation at (lat0+dlat, lon0+dlon); missing tiles → 0.0.
+
+    dlat/dlon: f32 arrays (any shape), degrees relative to the observer.
+    lat0/lon0: observer absolute position (python floats, static).
+    with_gradient: also return (dE/dlat, dE/dlon) in meters per degree — the
+    exact gradient of the sampled bilinear patch, reusing the same 4 taps.
+    """
+    (valid, t, row_c, col_c, t_rows_m1, t_cols_m1, ri, ci, rf, cf,
+     _, _) = _locate(pack, dlat, dlon, lat0, lon0)
     s = pack.tile_s or pack.tiles.shape[1]
     base = t * (s * s) + ri * s + ci
     if pack.quad is not None:
         # one 8-byte-row gather delivers the whole 2×2 footprint (int16
         # posts packed into two int32 lanes; see TerrainPack quad layout)
-        packed = jnp.take(pack.quad.reshape(-1, 2), base, axis=0)  # [..., 2]
+        packed = jnp.take(pack.quad, base, axis=0)  # [..., 2]
         row0 = packed[..., 0]
         row1 = packed[..., 1]
         # sign-extending unpack: low lane via <<16 >>16 (arithmetic), high
@@ -91,6 +104,14 @@ def sample_elevation(
         e10 = jnp.take(flat, base + s).astype(jnp.float32)
         e01 = jnp.take(flat, base + 1).astype(jnp.float32)
         e11 = jnp.take(flat, base + s + 1).astype(jnp.float32)
+    return _combine_taps(
+        e00, e01, e10, e11, rf, cf, valid, t_rows_m1, t_cols_m1, with_gradient
+    )
+
+
+def _combine_taps(e00, e01, e10, e11, rf, cf, valid, t_rows_m1, t_cols_m1,
+                  with_gradient):
+    """Bilinear value (+ exact patch gradient) from the four cell taps."""
     elev = (
         e00 * (1 - rf) * (1 - cf)
         + e10 * rf * (1 - cf)
@@ -112,6 +133,90 @@ def sample_elevation(
     )
 
 
+def paired_step_ok(pack: TerrainPack, model: EarthModel, lat0: float,
+                   step_m: float, max_dist_m: float) -> bool:
+    """Static gate for the paired sampler: consecutive samples ``step_m``
+    apart along any geodesic must land within 2 post cells of each other on
+    BOTH axes (the 4×4 win4 window then covers both bilinear footprints:
+    |Δfloor| ≤ ceil(Δu) ≤ 2 when Δu < 2 post units)."""
+    if pack.win4 is None or pack.uniform is None:
+        return False
+    rate_lat, rate_lon = model.max_deg_rates(lat0, max_dist_m)
+    cells_lat = step_m * rate_lat * pack.uniform[0]  # posts per step, lat
+    cells_lon = step_m * rate_lon * pack.uniform[1]
+    return max(cells_lat, cells_lon) < 1.98
+
+
+def _sample_elevation_paired(
+    pack: TerrainPack,
+    dlat: jnp.ndarray,
+    dlon: jnp.ndarray,
+    lat0: float,
+    lon0: float,
+    with_gradient: bool = False,
+):
+    """``sample_elevation`` for grids whose LAST axis walks a geodesic in
+    sub-2-post steps (``paired_step_ok``): consecutive sample pairs share
+    ONE 32-byte win4 row — half the gather launches of the quad path, with
+    bit-identical taps (win4 is built from the same posts; seam_jump == 0
+    certifies the global grid agrees with every tile-local cell).
+    """
+    (valid, t, row_c, col_c, t_rows_m1, t_cols_m1, ri, ci, rf, cf,
+     row_cell, col_cell) = _locate(pack, dlat, dlon, lat0, lon0)
+    nr_m1 = int(pack.uniform[0])
+    nc_m1 = int(pack.uniform[1])
+    GC = pack.g_cols
+    GR = pack.n_rows * nr_m1 + 1
+    # global post-grid cell root from the RAW tile cell, clipped to the
+    # grid: identical to row_c·nr_m1+ri for every in-mosaic sample, and an
+    # out-of-mosaic sample (masked to 0 downstream) lands on the nearest
+    # boundary cell — within 2 posts of a valid pair partner, so the shared
+    # 4×4 window still covers the partner's true footprint
+    gi = jnp.clip(row_cell * nr_m1 + ri, 0, GR - 2)  # [.., N]
+    gj = jnp.clip(col_cell * nc_m1 + ci, 0, GC - 2)
+
+    n = dlat.shape[-1]
+    pad = n % 2  # odd tails pair the last sample with itself
+    lead = dlat.shape[:-1]
+
+    def pair(x):
+        if pad:
+            x = jnp.concatenate([x, x[..., -1:]], axis=-1)
+        return x.reshape(lead + (-1, 2))
+
+    gip, gjp = pair(gi), pair(gj)
+    ai = jnp.clip(jnp.minimum(gip[..., 0], gip[..., 1]), 0, GR - 4)
+    aj = jnp.clip(jnp.minimum(gjp[..., 0], gjp[..., 1]), 0, GC - 4)
+    rows = jnp.take(pack.win4, ai * GC + aj, axis=0)  # [.., P, 8]
+    oi = jnp.clip(gip - ai[..., None], 0, 2)  # [.., P, 2] in 0..2
+    oj = jnp.clip(gjp - aj[..., None], 0, 2)
+
+    def unpair(x):
+        x = x.reshape(lead + (-1,))
+        return x[..., :n] if pad else x
+
+    def tap(a, b):
+        # post (oi+a, oj+b) of each pair element from the 4×4 row:
+        # lane 2r+c2 holds cols (2c2, 2c2+1) of window row r
+        r = oi + a
+        c = oj + b
+        lane = 2 * r + (c >> 1)  # [.., P, 2] in 0..7
+        word = rows[..., 0][..., None] + jnp.zeros_like(lane)
+        for k in range(1, 8):
+            word = jnp.where(lane == k, rows[..., k][..., None], word)
+        # sign-extending 16-bit unpack (same trick as the quad path)
+        val = jnp.where((c & 1) == 1, word >> 16, (word << 16) >> 16)
+        return unpair(val).astype(jnp.float32)
+
+    e00 = tap(0, 0)
+    e01 = tap(0, 1)
+    e10 = tap(1, 0)
+    e11 = tap(1, 1)
+    return _combine_taps(
+        e00, e01, e10, e11, rf, cf, valid, t_rows_m1, t_cols_m1, with_gradient
+    )
+
+
 def sample_terrain_data(
     pack: TerrainPack,
     model: EarthModel,
@@ -120,8 +225,13 @@ def sample_terrain_data(
     lat0: float,
     lon0: float,
     normal_mode: str = "gradient",
+    paired: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Elevation + outward surface normal at each point.
+
+    ``paired=True`` (gradient mode only; caller must have checked
+    ``paired_step_ok``) serves consecutive pairs along the LAST axis from
+    one win4 gather row each — bit-identical taps, half the launches.
 
     normal_mode:
       * "gradient" (default): normal from the exact gradient of the sampled
@@ -143,7 +253,8 @@ def sample_terrain_data(
     lon_abs = jnp.float32(lon0) + dlon
     north, east, up = model.world_directions(lat_abs, lon_abs, xp=jnp)
     if normal_mode == "gradient":
-        elev, de_dlat, de_dlon = sample_elevation(
+        elev_fn = _sample_elevation_paired if paired else sample_elevation
+        elev, de_dlat, de_dlon = elev_fn(
             pack, dlat, dlon, lat0, lon0, with_gradient=True
         )
         # meters-per-degree along the model's meridian/parallel at this point

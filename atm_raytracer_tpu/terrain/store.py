@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -351,12 +352,62 @@ class Terrain:
             row = (right << 16) | u  # [T, S, S] u32: (e[r,c+1], e[r,c])
             down = np.zeros_like(row)
             down[:, :-1, :] = row[:, 1:, :]
+            # flat [T·S·S, 2] (NOT [T, S, S, 2]): the gather consumes
+            # flat rows, and a [T, S, S, 2] jit ARGUMENT pays a full
+            # 400 MB re-tiling while-loop per render call before the
+            # first gather can run (~15 ms at 1080p/200 km on v5e)
             quad = jnp.asarray(
-                np.stack([row, down], axis=-1).astype(np.int32)
-            )  # [T, S, S, 2]
+                np.stack([row, down], axis=-1).astype(np.int32).reshape(-1, 2)
+            )  # [T·S·S, 2]
             # the quad pack fully supersedes the raw tiles on device; keep
             # only a [T, 1, 1] stub (tile size travels via aux `tile_s`)
             tiles_dev = stack[:, :1, :1]
+        win4 = None
+        g_cols = 0
+        n_posts_global = 0
+        if quad is not None and uniform is not None and seam_jump == 0.0:
+            nr = int(uniform[0]) + 1
+            nc = int(uniform[1]) + 1
+            n_posts_global = (n_lats * (nr - 1) + 1) * (n_lons * (nc - 1) + 1)
+        if (
+            n_posts_global
+            and nr >= 4 and nc >= 4
+            and n_posts_global
+            <= int(os.environ.get("ATM_RAYTRACER_WIN4_MAX_POSTS", "60000000"))
+        ):
+            # win4: one 32-byte row per GLOBAL post = the 4×4 post window
+            # rooted there, so the paired sampler (terrain/sample.py)
+            # serves TWO consecutive march samples from ONE gather row —
+            # gather launches, not bytes, bound the [W, N] terrain stage.
+            # Exists only when the mosaic is seam-consistent (seam_jump == 0
+            # certifies every shared edge post agrees, including the all-zero
+            # edges next to missing tiles), so the global post grid is
+            # well-defined and win4 taps are bit-identical to the per-tile
+            # quad taps.
+            GR = n_lats * (nr - 1) + 1
+            GC = n_lons * (nc - 1) + 1
+            g = np.zeros((GR, GC), np.int16)
+            for k, t in zip(keys, tiles):
+                r0 = (k[0] - lat_lo) * (nr - 1)
+                c0 = (k[1] - lon_lo) * (nc - 1)
+                g[r0:r0 + nr, c0:c0 + nc] = t.elev
+            # build the 8-lane row pack ON DEVICE (the host grid uploads as
+            # 2 B/post; a host-built win4 would ship 32 B/post through the
+            # dev tunnel): lane 2r+c2 = (g[+r, +2c2+1] << 16) | g[+r, +2c2]
+            gd = jnp.asarray(g).astype(jnp.uint32) & jnp.uint32(0xFFFF)
+
+            def _sh(dr, dc):
+                return jnp.pad(
+                    gd[dr:, dc:], ((0, dr), (0, dc)), constant_values=0
+                )
+
+            lanes = [
+                (_sh(r, 2 * c2 + 1) << 16) | _sh(r, 2 * c2)
+                for r in range(4)
+                for c2 in range(2)
+            ]
+            win4 = jnp.stack(lanes, axis=-1).astype(jnp.int32).reshape(-1, 8)
+            g_cols = GC
         result = TerrainPack(
             tiles=jnp.asarray(tiles_dev),
             tile_s=s,
@@ -368,6 +419,8 @@ class Terrain:
             n_cols=n_lons,
             uniform=uniform,
             quad=quad,
+            win4=win4,
+            g_cols=g_cols,
             grad_bound=round(grad_bound, 6),
             seam_jump=round(seam_jump, 3),
         )
@@ -396,7 +449,12 @@ class TerrainPack:
     n_rows: int  # static
     n_cols: int  # static
     uniform: Optional[Tuple[float, float]]  # static (rows−1, cols−1) or None
-    quad: Optional[jnp.ndarray] = None  # [T, S, S, 2] int32 2×2-footprint pack
+    quad: Optional[jnp.ndarray] = None  # [T·S·S, 2] int32 2×2-footprint pack
+    # [GR·GC, 8] int32 4×4-post-window pack over the GLOBAL post grid
+    # (seam-consistent uniform int16 mosaics only); lane 2r+c2 holds posts
+    # (+r, +2c2) | (+r, +2c2+1). Serves the paired sampler.
+    win4: Optional[jnp.ndarray] = None
+    g_cols: int = 0  # static global post-grid column count (win4 row stride)
     tile_s: int = 0  # static padded tile side S (tiles may be a stub)
     # static mosaic Lipschitz bound |∇elev| (m/m) — sizes the conservative
     # slack of the culled rectilinear's azimuth-interval terrain envelope
@@ -408,9 +466,10 @@ class TerrainPack:
 
     def tree_flatten(self):
         return (
-            (self.tiles, self.rows_m1, self.cols_m1, self.quad),
+            (self.tiles, self.rows_m1, self.cols_m1, self.quad, self.win4),
             (self.lat_min, self.lon_min, self.n_rows, self.n_cols,
-             self.uniform, self.tile_s, self.grad_bound, self.seam_jump),
+             self.uniform, self.tile_s, self.grad_bound, self.seam_jump,
+             self.g_cols),
         )
 
     @classmethod
@@ -418,6 +477,7 @@ class TerrainPack:
         return cls(
             children[0], children[1], children[2],
             lat_min=aux[0], lon_min=aux[1], n_rows=aux[2], n_cols=aux[3],
-            uniform=aux[4], quad=children[3], tile_s=aux[5],
-            grad_bound=aux[6], seam_jump=aux[7],
+            uniform=aux[4], quad=children[3], win4=children[4],
+            tile_s=aux[5], grad_bound=aux[6], seam_jump=aux[7],
+            g_cols=aux[8],
         )

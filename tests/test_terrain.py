@@ -278,3 +278,71 @@ def test_add_tile_invalidates_pack_cache():
                     elev=np.full((n, n), 250.0, np.float32)))
     p2 = t.pack(*box)
     assert float(np.asarray(p2.tiles).max()) == 250.0
+
+
+def test_paired_sampler_bit_identical(tmp_path):
+    """The win4 paired sampler must reproduce the plain quad path BITWISE
+    (elevation and gradient normals) — including odd sample counts and rays
+    that exit the mosaic — for every earth model that passes the gate."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.models.earth import EARTH_R
+    from atm_raytracer_tpu.terrain.sample import paired_step_ok
+
+    make_terrain_folder(
+        tmp_path, tiles=((49, 21), (49, 22), (50, 21), (50, 22)), n=121
+    )
+    pack = Terrain.from_folder(tmp_path).pack((49, 50), (21, 22))
+    assert pack.win4 is not None and pack.seam_jump == 0.0
+    lat0, lon0 = 49.6, 21.4
+    az = jnp.linspace(0.0, 359.0, 48, dtype=jnp.float32)
+    models = [
+        EarthModel(kind="Spherical", radius=EARTH_R),
+        EarthModel(kind="Wgs84"),
+        EarthModel(kind="AzimuthalEquidistant"),
+        EarthModel(kind="FlatDistorted"),
+    ]
+    # 40 km stays inside the 2°×2° mosaic; 300 km exits it in every azimuth
+    for step, n in [(50.0, 800), (200.0, 1501)]:
+        dists = jnp.arange(1, n + 1, dtype=jnp.float32) * step
+        for model in models:
+            assert paired_step_ok(pack, model, lat0, step, n * step)
+            dlat, dlon = model.geodesic_delta(
+                lat0, lon0, az[:, None], dists[None, :]
+            )
+            e0, n0 = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+            e1, n1 = sample_terrain_data(
+                pack, model, dlat, dlon, lat0, lon0, paired=True
+            )
+            assert bool(jnp.all(e0 == e1)), (model.kind, step)
+            assert bool(jnp.all(n0 == n1)), (model.kind, step)
+
+
+def test_paired_gate_rejects_unsafe_configs(tmp_path):
+    """paired_step_ok must refuse: seam-inconsistent mosaics (missing tile →
+    no win4), steps wide enough that a pair can straddle >2 post cells, and
+    observers whose march can reach a pole (unbounded dlon rate)."""
+    from atm_raytracer_tpu.models.earth import EARTH_R
+    from atm_raytracer_tpu.terrain.sample import paired_step_ok
+
+    make_terrain_folder(
+        tmp_path, tiles=((49, 21), (49, 22), (50, 22)), n=121
+    )  # (50,21) missing inside the bbox → zero slot → seam_jump > 0
+    holey = Terrain.from_folder(tmp_path).pack((49, 50), (21, 22))
+    sphere = EarthModel(kind="Spherical", radius=EARTH_R)
+    assert holey.win4 is None
+    assert not paired_step_ok(holey, sphere, 49.6, 50.0, 40e3)
+
+    full = tmp_path / "full"
+    full.mkdir()
+    make_terrain_folder(
+        full, tiles=((49, 21), (49, 22), (50, 21), (50, 22)), n=121
+    )
+    pack = Terrain.from_folder(full).pack((49, 50), (21, 22))
+    assert pack.win4 is not None
+    # 120 posts/degree ≈ 927 m/post at this latitude: a 2.5 km step spans
+    # >2 post cells → reject; 50 m is safely sub-cell → accept
+    assert paired_step_ok(pack, sphere, 49.6, 50.0, 40e3)
+    assert not paired_step_ok(pack, sphere, 49.6, 2500.0, 200e3)
+    # pole-reaching march: dlon/dd is unbounded on the sphere
+    assert not paired_step_ok(pack, sphere, 89.0, 50.0, 400e3)
