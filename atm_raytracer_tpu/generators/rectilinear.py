@@ -56,12 +56,24 @@ from ..physics.ray import (
     march_scan_light,
     rk4_window,
 )
-from ..terrain.sample import sample_elevation, sample_terrain_data
+from ..terrain.sample import paired_step_ok, sample_elevation, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult, callbacks_supported, fetch_flat
 from .fast import build_refraction_table, terrain_bbox
 
 
+
+
+def _endpoint_pair_terrain(pack, model, dl1, dn1, dl2, dn2, lat0, lon0,
+                           paired: bool):
+    """Terrain elev+normal at both crossing-segment endpoints in ONE call:
+    the endpoints are one march step apart, so with ``paired`` each (lo, hi)
+    pair rides a single win4 gather row instead of two quad gathers."""
+    dls = jnp.stack([dl1, dl2], axis=-1)  # [..., 2] — pairs along last axis
+    dns = jnp.stack([dn1, dn2], axis=-1)
+    te, no = sample_terrain_data(pack, model, dls, dns, lat0, lon0,
+                                 paired=paired)
+    return te[..., 0], no[..., 0, :], te[..., 1], no[..., 1, :]
 
 
 # ---------------------------------------------------------------------------
@@ -127,7 +139,10 @@ def fused_shared_core(
     dlat, dlon = model.geodesic_delta(
         lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
     )  # [W, n_terr]
-    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+    terr_elev, terr_normal = sample_terrain_data(
+        pack, model, dlat, dlon, lat0, lon0,
+        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+    )
     stacked = jnp.concatenate(
         [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
         axis=-1,
@@ -457,7 +472,10 @@ def shared_column_core(
     dlat, dlon = model.geodesic_delta(
         lat0, lon0, az_deg.astype(jnp.float32)[:, None], dists[None, :]
     )  # [W, n_terr]
-    terr_elev, terr_normal = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+    terr_elev, terr_normal = sample_terrain_data(
+        pack, model, dlat, dlon, lat0, lon0,
+        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+    )
     stacked = jnp.concatenate(
         [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
         axis=-1,
@@ -609,6 +627,10 @@ def fused_culled_core(
     p_n = width * height
     m = m_cand
     radius = shape.radius
+    # every terrain sampling below walks geodesics in `step` increments
+    # along the last axis (envelope grid, per-candidate fine windows, hit
+    # endpoint pairs) — one static gate covers them all
+    pair_ok = paired_step_ok(pack, model, lat0, step, (n_march + 1) * step)
 
     elev_hw, dirr_hw = camera.rectilinear_ray_params_device(
         width, height, fov, tilt, direction
@@ -631,7 +653,9 @@ def fused_culled_core(
     env_dl, env_dn = model.geodesic_delta(
         lat0, lon0, az_grid[:, None], dists[None, :]
     )
-    env = sample_elevation(pack, env_dl, env_dn, lat0, lon0)  # [A, n_march+1]
+    env = sample_elevation(
+        pack, env_dl, env_dn, lat0, lon0, paired=pair_ok
+    )  # [A, n_march+1]
     seg_hi = jnp.maximum(env[:, :-1], env[:, 1:]).reshape(n_env, nb, b_len)
     seg_lo = jnp.minimum(env[:, :-1], env[:, 1:]).reshape(n_env, nb, b_len)
     blk_hi = seg_hi.max(-1)  # [A, nb]
@@ -734,7 +758,9 @@ def fused_culled_core(
             + local[None, None, :] * jnp.float32(step)
         )  # [P, M, B+1]
         dl, dn = model.geodesic_delta(lat0, lon0, az_px[:, None, None], d)
-        te = sample_elevation(pack, dl, dn, lat0, lon0)  # [P, M, B+1]
+        te = sample_elevation(
+            pack, dl, dn, lat0, lon0, paired=pair_ok
+        )  # [P, M, B+1]
         dd = h_fine - te
         d1 = dd[..., :-1]
         d2 = dd[..., 1:]
@@ -793,8 +819,9 @@ def fused_culled_core(
     dl2, dn2 = model.geodesic_delta(
         lat0, lon0, az_px[:, None], (kf + 1.0) * step
     )
-    te1, no1 = sample_terrain_data(pack, model, dl1, dn1, lat0, lon0)
-    te2, no2 = sample_terrain_data(pack, model, dl2, dn2, lat0, lon0)
+    te1, no1, te2, no2 = _endpoint_pair_terrain(
+        pack, model, dl1, dn1, dl2, dn2, lat0, lon0, pair_ok
+    )
     lerp = lambda a, b: a * (1.0 - prop) + b * prop
     hits = HitBuffer(
         valid=valid,
@@ -856,6 +883,7 @@ def pixelwise_hits(
     p_n = elev_rad.shape[0]
     n_seg = n_terr - 1
     coarse = march_coarse(step)
+    pair_ok = paired_step_ok(pack, model, lat0, step, n_terr * step)
     ray_h, path_len = march_rays(
         alt0, elev_rad, step, n_seg, shape, table, straight, coarse=coarse
     )  # [P, n_terr]
@@ -871,7 +899,7 @@ def pixelwise_hits(
         k0 = c * seg_chunk
         dists = (jnp.arange(seg_chunk + 1, dtype=jnp.float32) + k0.astype(jnp.float32)) * step
         dl, dn = model.geodesic_delta(lat0, lon0, dir_col, dists[None, :])
-        te = sample_elevation(pack, dl, dn, lat0, lon0)  # [P, C+1]
+        te = sample_elevation(pack, dl, dn, lat0, lon0, paired=pair_ok)  # [P, C+1]
         rh = jax.lax.dynamic_slice(ray_h_p, (0, k0), (p_n, seg_chunk + 1))
         al = jax.lax.dynamic_slice(alive_p, (0, k0), (p_n, seg_chunk))
         d1 = rh[:, :-1] - te[:, :-1]
@@ -904,8 +932,9 @@ def pixelwise_hits(
     d_hi = (k + 1.0) * step
     dl1, dn1 = model.geodesic_delta(lat0, lon0, dir_col, d_lo)
     dl2, dn2 = model.geodesic_delta(lat0, lon0, dir_col, d_hi)
-    te1, no1 = sample_terrain_data(pack, model, dl1, dn1, lat0, lon0)
-    te2, no2 = sample_terrain_data(pack, model, dl2, dn2, lat0, lon0)
+    te1, no1, te2, no2 = _endpoint_pair_terrain(
+        pack, model, dl1, dn1, dl2, dn2, lat0, lon0, pair_ok
+    )
     lerp = lambda a, b: a * (1.0 - prop) + b * prop
     lerp_v = lambda a, b: a * (1.0 - prop[..., None]) + b * prop[..., None]
     hits = HitBuffer(

@@ -73,6 +73,7 @@ def sample_elevation(
     lat0: float,
     lon0: float,
     with_gradient: bool = False,
+    paired: bool = False,
 ):
     """Bilinear elevation at (lat0+dlat, lon0+dlon); missing tiles → 0.0.
 
@@ -80,7 +81,14 @@ def sample_elevation(
     lat0/lon0: observer absolute position (python floats, static).
     with_gradient: also return (dE/dlat, dE/dlon) in meters per degree — the
     exact gradient of the sampled bilinear patch, reusing the same 4 taps.
+    paired: consecutive entries along the LAST axis are <2 post cells apart
+    (caller must have checked ``paired_step_ok``) — serve each pair from one
+    win4 gather row (half the launches, bit-identical taps).
     """
+    if paired:
+        return _sample_elevation_paired(
+            pack, dlat, dlon, lat0, lon0, with_gradient
+        )
     (valid, t, row_c, col_c, t_rows_m1, t_cols_m1, ri, ci, rf, cf,
      _, _) = _locate(pack, dlat, dlon, lat0, lon0)
     s = pack.tile_s or pack.tiles.shape[1]
@@ -253,9 +261,8 @@ def sample_terrain_data(
     lon_abs = jnp.float32(lon0) + dlon
     north, east, up = model.world_directions(lat_abs, lon_abs, xp=jnp)
     if normal_mode == "gradient":
-        elev_fn = _sample_elevation_paired if paired else sample_elevation
-        elev, de_dlat, de_dlon = elev_fn(
-            pack, dlat, dlon, lat0, lon0, with_gradient=True
+        elev, de_dlat, de_dlon = sample_elevation(
+            pack, dlat, dlon, lat0, lon0, with_gradient=True, paired=paired
         )
         # meters-per-degree along the model's meridian/parallel at this point
         off_lat, off_lon = model.normal_offsets(lat_abs)  # deg per NORMAL_DIFF m
