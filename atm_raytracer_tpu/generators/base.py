@@ -116,17 +116,9 @@ def fetch_flat(arr, chunk_bytes: int = 0) -> np.ndarray:
     return fetch_flat_many([flat])[0]
 
 
-def fetch_flat_many(arrays) -> list:
-    """Fetch several arrays flat with ONE shared overlap pool.
-
-    ``fetch_flat`` in a loop serializes whole arrays behind each other, and
-    arrays under the 32 MB threshold never overlap at all (the common case:
-    a 1080p frame's four ~8 MB viewer-metadata segments). Here every
-    (array, slice) unit of work across all inputs feeds one thread pool, so
-    small arrays pipeline against each other and big ones still split.
-    Host numpy inputs pass through untouched.
-    """
-    units = []  # (out_buffer, dst_slice, src_array)
+def _build_fetch_units(arrays):
+    """Split arrays into (out, a, b, src) chunk units; host arrays pass through."""
+    units = []  # (out_buffer, dst_start, dst_stop, src_array)
     outs: list = []
     for arr in arrays:
         if isinstance(arr, np.ndarray):
@@ -139,22 +131,54 @@ def fetch_flat_many(arrays) -> list:
         outs.append(out)
         for a in range(0, n, per):
             units.append((out, a, min(a + per, n), flat))
+    return outs, units
+
+
+def _grab_unit(u):
+    out, a, b, flat = u
+    out[a:b] = np.asarray(flat if (a == 0 and b == out.size) else flat[a:b])
+
+
+def fetch_flat_many(arrays) -> list:
+    """Fetch several arrays flat with ONE shared overlap pool.
+
+    ``fetch_flat`` in a loop serializes whole arrays behind each other, and
+    arrays under the 32 MB threshold never overlap at all (the common case:
+    a 1080p frame's four ~8 MB viewer-metadata segments). Here every
+    (array, slice) unit of work across all inputs feeds one thread pool, so
+    small arrays pipeline against each other and big ones still split.
+    Host numpy inputs pass through untouched.
+    """
+    outs, units = _build_fetch_units(arrays)
     if len(units) == 1:
-        out, a, b, flat = units[0]
-        out[a:b] = np.asarray(flat if (a == 0 and b == out.size) else flat[a:b])
+        _grab_unit(units[0])
         return outs
     if units:
         from concurrent.futures import ThreadPoolExecutor
 
-        def grab(u):
-            out, a, b, flat = u
-            out[a:b] = np.asarray(
-                flat if (a == 0 and b == out.size) else flat[a:b]
-            )
-
         with ThreadPoolExecutor(_FETCH_THREADS) as ex:
-            list(ex.map(grab, units))
+            list(ex.map(_grab_unit, units))
     return outs
+
+
+def fetch_pool():
+    """Overlap pool for PHASED fetches: submit some arrays, run device work,
+    submit more, then join — early transfers hide later device compute
+    (e.g. the 8K frame streams while the metadata pack runs). Caller owns
+    shutdown; pair with :func:`submit_fetch`."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(_FETCH_THREADS)
+
+
+def submit_fetch(ex, arrays):
+    """Queue arrays on a :func:`fetch_pool` executor without blocking.
+
+    Returns (outs, futures): ``outs`` are the destination flat buffers
+    (host inputs pass through), valid only after every future resolves.
+    """
+    outs, units = _build_fetch_units(arrays)
+    return outs, [ex.submit(_grab_unit, u) for u in units]
 
 
 # ---------------------------------------------------------------------------

@@ -495,15 +495,18 @@ def fetch_viewer_fields_separable(result, model, step: float, co_fetch=()):
     2-4x on top of the dropped lat/lon segments.
 
     ``co_fetch``: extra device arrays (e.g. the rendered image) staged
-    through the SAME overlap pool as the metadata segments — the dev
-    tunnel pipelines concurrent requests, so co-fetching hides one
-    transfer behind the other instead of paying them back to back.
+    through the SAME overlap pool as the metadata segments — and
+    SUBMITTED FIRST, before the pack is even dispatched, so the co-fetch
+    bytes stream through the tunnel while the device runs the compaction
+    and the host waits on the count sync. The tunnel pipelines concurrent
+    requests, so this hides the pack's device time and RTT behind the
+    image transfer instead of paying them back to back.
     Returns the ViewerFieldsSeparable alone when ``co_fetch`` is empty,
     else ``(vf, [flat extras...])``.
     """
     import jax as _jax
 
-    from ..generators.base import fetch_flat_many
+    from ..generators.base import fetch_pool, submit_fetch
 
     hits = result.hits
     az = np.asarray(result.azimuth_deg)
@@ -512,12 +515,20 @@ def fetch_viewer_fields_separable(result, model, step: float, co_fetch=()):
             "fetch_viewer_fields_separable needs a separable [W] azimuth "
             "grid (Fast generator)"
         )
-    bits, key_c, el_c, ranges, count = pack_viewer_fields_separable(
-        jnp.asarray(hits.key), jnp.asarray(hits.elevation)
-    )
-    n = int(_jax.device_get(count))
     co_fetch = tuple(co_fetch)
-    fetched = fetch_flat_many((bits, key_c[:n], el_c[:n]) + co_fetch)
+    ex = fetch_pool()
+    try:
+        co_outs, co_futs = submit_fetch(ex, co_fetch)
+        bits, key_c, el_c, ranges, count = pack_viewer_fields_separable(
+            jnp.asarray(hits.key), jnp.asarray(hits.elevation)
+        )
+        n = int(_jax.device_get(count))
+        meta_outs, meta_futs = submit_fetch(ex, (bits, key_c[:n], el_c[:n]))
+        for f in meta_futs + co_futs:
+            f.result()
+    finally:
+        ex.shutdown(wait=True)
+    fetched = list(meta_outs) + list(co_outs)
     bits_h, key_h, el_h = fetched[:3]
     lat0, lon0 = float(result.observer[0]), float(result.observer[1])
     vf = ViewerFieldsSeparable(
