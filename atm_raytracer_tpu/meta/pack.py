@@ -440,13 +440,35 @@ class ViewerFieldsSeparable:
         return self._latlon_full()[1]
 
     # -- O(K) single-pixel decode (viewer click path) ------------------------
+    def _rank(self, base: int) -> int:
+        """Valid slots strictly before flat slot ``base`` (bitmask popcount).
+
+        O(base/32) word popcount — the viewer's click path must not pay the
+        full-frame cumsum index (~1 s at 8K×2 K) for one pixel.
+        """
+        wq, r = divmod(base, 32)
+        c = int(np.bitwise_count(self._bits[:wq]).sum(dtype=np.int64))
+        if r:
+            tail = self._bits[wq] & np.uint32((1 << r) - 1)
+            c += int(np.bitwise_count(tail))
+        return c
+
     def pixel(self, y: int, x: int):
         """Decode one pixel's slots → dict of [K] arrays."""
         h, w = self.shape[0], self.shape[1]
         k = self._p // (h * w)
         base = (y * w + x) * k
-        vflat = self.valid.reshape(-1)[base: base + k]
-        pos = self._positions[base: base + k]
+        if "_positions" in self._cache:
+            vflat = self.valid.reshape(-1)[base: base + k]
+            pos = self._positions[base: base + k]
+        else:
+            sl = np.arange(base, base + k)
+            vflat = (
+                (self._bits[sl >> 5] >> (sl & 31).astype(np.uint32)) & 1
+            ).astype(bool)
+            # exclusive running rank within the pixel window, offset by the
+            # rank of everything before it
+            pos = self._rank(base) + np.cumsum(vflat, dtype=np.int32) - 1
         key = np.full(k, np.inf, np.float32)
         el = np.zeros(k, np.float32)
         el_lo, el_hi = self.el_ranges[0], self.el_ranges[1]

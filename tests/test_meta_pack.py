@@ -205,6 +205,16 @@ def test_separable_pack_roundtrip(tmp_path_factory):
     np.testing.assert_array_equal(px["elevation"], vf.elevation[y, x])
     np.testing.assert_allclose(px["dlat"], vf.dlat[y, x], atol=1e-12)
     np.testing.assert_allclose(px["dlon"], vf.dlon[y, x], atol=1e-12)
+    # the popcount-rank fast path (no cached index) and the cached-index
+    # path must agree everywhere, including pixels whose slot window
+    # straddles a 32-bit bitmask word boundary
+    _ = vf._positions  # force the cached-index branch on vf
+    for yy, xx in [(y, x), (0, 0), (int(ys[-1]), int(xs[-1]))]:
+        pa = vf.pixel(yy, xx)          # cached-index branch
+        pb = vf_co.pixel(yy, xx)       # popcount-rank branch (no index yet)
+        assert "_positions" not in vf_co._cache
+        for f in ("valid", "key", "distance", "elevation", "dlat", "dlon"):
+            np.testing.assert_array_equal(pa[f], pb[f])
     # a sky pixel decodes as all-invalid
     sky_rows = np.nonzero(~valid.any(axis=(1, 2)))[0]
     if sky_rows.size:
