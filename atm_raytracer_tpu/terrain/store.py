@@ -330,6 +330,30 @@ class Terrain:
                             seam_jump,
                             _jump(_edge((la, lo), "n"), _edge((la + 1, lo), "s")),
                         )
+        # win4 bit-parity cares only about seams INTERIOR to the pack's slot
+        # grid: samples past the mosaic edge are masked invalid → 0.0 in both
+        # the quad and win4 paths (see terrain/sample.py _locate `valid`), so
+        # the requested-box seam_jump above — which includes the step to the
+        # 0.0 fallback PAST the loaded tiles and is therefore > 0 for any
+        # view whose bbox overhangs the mosaic (i.e. most renders) — must not
+        # gate the paired sampler. A missing slot INSIDE the grid still
+        # contributes its zero edges here and keeps win4 off: the one-cell
+        # strip next to a present tile would otherwise tap that tile's real
+        # boundary posts through the global grid where the per-slot quad path
+        # (and the reference's 0.0 fallback, utils.rs:28-31) reads zeros.
+        interior_seam = 0.0
+        for la in range(lat_lo, lat_hi + 1):
+            for lo in range(lon_lo, lon_hi + 1):
+                if lo + 1 <= lon_hi:
+                    interior_seam = max(
+                        interior_seam,
+                        _jump(_edge((la, lo), "e"), _edge((la, lo + 1), "w")),
+                    )
+                if la + 1 <= lat_hi:
+                    interior_seam = max(
+                        interior_seam,
+                        _jump(_edge((la, lo), "n"), _edge((la + 1, lo), "s")),
+                    )
         uniform = None
         if len(shapes) == 1:
             (nr, nc), = shapes
@@ -365,7 +389,7 @@ class Terrain:
         win4 = None
         g_cols = 0
         n_posts_global = 0
-        if quad is not None and uniform is not None and seam_jump == 0.0:
+        if quad is not None and uniform is not None and interior_seam == 0.0:
             nr = int(uniform[0]) + 1
             nc = int(uniform[1]) + 1
             n_posts_global = (n_lats * (nr - 1) + 1) * (n_lons * (nc - 1) + 1)

@@ -340,6 +340,16 @@ def test_paired_gate_rejects_unsafe_configs(tmp_path):
     )
     pack = Terrain.from_folder(full).pack((49, 50), (21, 22))
     assert pack.win4 is not None
+    # a requested box OVERHANGING the loaded mosaic (the common case: view
+    # reach past the tile set) raises the envelope's seam_jump — the field
+    # steps to the 0.0 fallback at the mosaic edge — but must NOT disable
+    # win4: outer-boundary samples are masked invalid → 0.0 in both the quad
+    # and win4 paths, so pairing stays bit-exact (the bitwise test above
+    # marches rays clean out of the mosaic)
+    over = Terrain.from_folder(full).pack((48.2, 51.8), (20.1, 23.9))
+    assert over.seam_jump > 0.0
+    assert over.win4 is not None
+    assert paired_step_ok(over, sphere, 49.6, 50.0, 40e3)
     # 120 posts/degree ≈ 927 m/post at this latitude: a 2.5 km step spans
     # >2 post cells → reject; 50 m is safely sub-cell → accept
     assert paired_step_ok(pack, sphere, 49.6, 50.0, 40e3)
