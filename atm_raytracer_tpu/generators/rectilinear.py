@@ -143,10 +143,16 @@ def fused_shared_core(
         pack, model, dlat, dlon, lat0, lon0,
         paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
     )
+    # gathered endpoint rows carry only elevation + normal (4 ch → 8 per
+    # pair-row = exactly ONE 8-lane sublane group; TPU gather cost is per
+    # row): the hit's dlat/dlon re-derives per PIXEL from (column azimuth,
+    # key·step) with the same geodesic this cache was built from —
+    # evaluating the curve at the lerped distance instead of lerping the
+    # curve's endpoints (agreement ~1e-5 m over a 50 m segment; fast.py
+    # separable_hits and the viewer's separable pack already do this)
     stacked = jnp.concatenate(
-        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
-        axis=-1,
-    )  # [W, N, 6]
+        [terr_elev[..., None], terr_normal], axis=-1
+    )  # [W, N, 4]
 
     n_coarse = -(-n_seg // coarse)
     tpad = n_coarse * coarse + 1 - n_terr
@@ -245,19 +251,20 @@ def fused_shared_core(
         # [H, W] planes.
         valid_w = best_w < big_w
         bw = jnp.where(valid_w, best_w, 0)
+        # all-[H, W] re-expansion: rk4_window is shape-agnostic, so the node
+        # state never round-trips through a flat [P] form (each [P]↔[H, W]
+        # reshape is a ~3 ms relayout copy at 1080p, ×17 planes)
         _, plen_fw, h1w, v1w = rk4_window(
-            s_h.reshape(-1), s_v.reshape(-1), s_p.reshape(-1),
-            step, coarse, table, straight, shape.radius,
-        )  # [P, C+1] path lengths + window-end node state
-        s_vdx = s_v.reshape(-1) * dxw
+            s_h, s_v, s_p, step, coarse, table, straight, shape.radius,
+        )  # [H, W, C+1] path lengths + window-end node state
+        s_vdx = s_v * dxw
         v1dxw = v1w * dxw
         h_pl = [
-            hermite_plane(s_h.reshape(-1), s_vdx, h1w, v1dxw, coeffs, j)
-            .reshape(h_n, w_n)
+            hermite_plane(s_h, s_vdx, h1w, v1dxw, coeffs, j)
             for j in range(coarse + 1)
         ]  # (C+1)×[H, W] planes
         p_pl = jax.lax.optimization_barrier(
-            jnp.moveaxis(plen_fw.reshape(h_n, w_n, coarse + 1), -1, 0)
+            jnp.moveaxis(plen_fw, -1, 0)
         )
         # window-aligned terrain rows: [W, n_coarse, C+1] built by pure
         # reshapes, fetched with ONE contiguous row-gather per pixel
@@ -371,33 +378,35 @@ def fused_shared_core(
     ks = jnp.floor(safe).astype(jnp.int32)
     prop = safe - ks.astype(jnp.float32)
     if k == 1:
-        # channel-plane reconstruction: ONE 48 B pair-row gather per pixel,
+        # channel-plane reconstruction: ONE 32 B pair-row gather per pixel,
         # transposed channel-leading (the [H, W, K, D] form costs ~4× here)
         col_pairs = jnp.concatenate(
             [stacked[:, :-1, :], stacked[:, 1:, :]], axis=-1
-        ).reshape(-1, 12)  # [W·(N-1), 12]
+        ).reshape(-1, 8)  # [W·(N-1), 8]
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (h_n, w_n), 1)
         base = w_iota * (n_terr - 1) + jnp.clip(ks[..., 0], 0, n_terr - 2)
         g = jax.lax.optimization_barrier(
             jnp.moveaxis(jnp.take(col_pairs, base, axis=0), -1, 0)
-        )  # [12, H, W]: (dlat,dlon,elev,n0,n1,n2) lo then hi
+        )  # [8, H, W]: (elev,n0,n1,n2) lo then hi
         pr = prop[..., 0]
         pl_ = lambda lo, hi: (lo * (1.0 - pr) + hi * pr)[..., None]
-        hit_dlat = pl_(g[0], g[6])
-        hit_dlon = pl_(g[1], g[7])
-        hit_elev = pl_(g[2], g[8])
+        hit_elev = pl_(g[0], g[4])
         hit_normal = jnp.stack(
-            [pl_(g[3], g[9])[..., 0], pl_(g[4], g[10])[..., 0],
-             pl_(g[5], g[11])[..., 0]],
+            [pl_(g[1], g[5])[..., 0], pl_(g[2], g[6])[..., 0],
+             pl_(g[3], g[7])[..., 0]],
             axis=-1,
         )[..., None, :]
     else:
-        c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 6]
+        c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [H, W, K, 4]
         hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
-        hit_dlat = hit_stack[..., 0]
-        hit_dlon = hit_stack[..., 1]
-        hit_elev = hit_stack[..., 2]
-        hit_normal = hit_stack[..., 3:6]
+        hit_elev = hit_stack[..., 0]
+        hit_normal = hit_stack[..., 1:4]
+    # hit positions re-derived on the column geodesic at the lerped distance
+    # (tilt == 0 ⇒ azimuth is constant along each image column)
+    hit_dlat, hit_dlon = model.geodesic_delta(
+        lat0, lon0, az_deg.astype(jnp.float32)[None, :, None],
+        safe * jnp.float32(step),
+    )  # [H, W, K]
     rgba = jnp.zeros((h_n, w_n, k, 4), jnp.float32)
     rgba = rgba.at[..., 3].set(jnp.float32(terrain_alpha))
     hits = HitBuffer(
@@ -476,10 +485,12 @@ def shared_column_core(
         pack, model, dlat, dlon, lat0, lon0,
         paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
     )
+    # elevation + normal only (one sublane group per gathered pair-row);
+    # hit dlat/dlon re-derives per pixel from (column azimuth, key·step) —
+    # see the fused_shared_core note
     stacked = jnp.concatenate(
-        [dlat[..., None], dlon[..., None], terr_elev[..., None], terr_normal],
-        axis=-1,
-    )  # [W, N, 6]
+        [terr_elev[..., None], terr_normal], axis=-1
+    )  # [W, N, 4]
     az_flat = jnp.broadcast_to(
         az_deg.astype(jnp.float32)[None, :], (r_n, w_n)
     ).reshape(-1)
@@ -497,34 +508,38 @@ def shared_column_core(
 
         # field reconstruction at the K crossings (utils.rs:108-133 semantics,
         # same paired-endpoint gathers as generators/fast.py step 4)
-        c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [R, W, K, 6]
+        c_lo, c_hi = combine.gather_column_pairs(stacked, ks)  # [R, W, K, 4]
         ray_stack = jnp.stack([ray_h, path_len], axis=-1)  # [R·W, N, 2]
         r_lo, r_hi = combine.gather_ray_pairs(
             ray_stack, ks.reshape(rw, max_hits)
         )
         r_lo = r_lo.reshape(r_n, w_n, max_hits, 2)
         r_hi = r_hi.reshape(r_n, w_n, max_hits, 2)
-        d1 = r_lo[..., 0] - c_lo[..., 2]
-        d2 = r_hi[..., 0] - c_hi[..., 2]
+        d1 = r_lo[..., 0] - c_lo[..., 0]
+        d2 = r_hi[..., 0] - c_hi[..., 0]
         denom = d1 - d2
         prop = d1 / jnp.where(denom == 0.0, 1.0, denom)  # utils.rs:232
         keys = jnp.where(valid, ks.astype(jnp.float32) + prop, combine.NO_HIT)
         safe_keys = jnp.where(valid, keys, 0.0)
 
         hit_stack = c_lo * (1.0 - prop[..., None]) + c_hi * prop[..., None]
+        hit_dlat, hit_dlon = model.geodesic_delta(
+            lat0, lon0, az_deg.astype(jnp.float32)[None, :, None],
+            safe_keys * jnp.float32(step),
+        )  # [R, W, K]
         rgba = jnp.zeros((r_n, w_n, max_hits, 4), jnp.float32)
         rgba = rgba.at[..., 3].set(jnp.float32(terrain_alpha))
         hits = HitBuffer(
             valid=valid.reshape(rw, max_hits),
             key=keys.reshape(rw, max_hits),
-            dlat=hit_stack[..., 0].reshape(rw, max_hits),
-            dlon=hit_stack[..., 1].reshape(rw, max_hits),
+            dlat=hit_dlat.reshape(rw, max_hits),
+            dlon=hit_dlon.reshape(rw, max_hits),
             distance=(safe_keys * jnp.float32(step)).reshape(rw, max_hits),
-            elevation=hit_stack[..., 2].reshape(rw, max_hits),
+            elevation=hit_stack[..., 0].reshape(rw, max_hits),
             path_length=(
                 r_lo[..., 1] * (1.0 - prop) + r_hi[..., 1] * prop
             ).reshape(rw, max_hits),
-            normal=hit_stack[..., 3:6].reshape(rw, max_hits, 3),
+            normal=hit_stack[..., 1:4].reshape(rw, max_hits, 3),
             kind=jnp.zeros((rw, max_hits), jnp.int32),
             rgba=rgba.reshape(rw, max_hits, 4),
         )

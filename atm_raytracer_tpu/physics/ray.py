@@ -305,25 +305,27 @@ def march_coarse(step: float) -> int:
 def rk4_window(h, v, plen, step, coarse, table, straight, radius):
     """One coarse RK4 step + Hermite dense output + calc_dist path lengths.
 
-    Returns (h_f [B, C+1], plen_f [B, C+1], h1, v1): exactly the values a
-    ``march_scan`` window produces from the same (h, v, plen) state —
+    Returns (h_f [..., C+1], plen_f [..., C+1], h1, v1): exactly the values
+    a ``march_scan`` window produces from the same (h, v, plen) state —
     bitwise reproducible, so captured window states can be re-expanded later
-    (the culled Rectilinear re-integrates candidate blocks this way).
+    (the culled Rectilinear re-integrates candidate blocks this way). State
+    may have any shape (flat [B] or [H, W] planes — the fused Rectilinear's
+    post-scan stays 2-D to avoid [P]↔[H, W] relayout copies).
     """
     dx = jnp.float32(step * coarse)
     dxf = jnp.float32(step)
     h1, v1 = _rk4_step(h, v, dx, table, radius, straight)
     # the ONE Hermite dense-output implementation (bitwise contract: callers
     # re-expand captured windows via either entry point)
-    h_f = hermite_window(h, v, h1, v1, dx, coarse)  # [B, C+1]
-    dh = h_f[:, 1:] - h_f[:, :-1]
+    h_f = hermite_window(h, v, h1, v1, dx, coarse)  # [..., C+1]
+    dh = h_f[..., 1:] - h_f[..., :-1]
     if radius is None:
         seg_len = jnp.sqrt(dxf * dxf + dh * dh)
     else:
-        dx_eff = dxf * ((h_f[:, 1:] + h_f[:, :-1]) * 0.5 + radius) / radius
+        dx_eff = dxf * ((h_f[..., 1:] + h_f[..., :-1]) * 0.5 + radius) / radius
         seg_len = jnp.sqrt(dx_eff * dx_eff + dh * dh)
     plen_f = jnp.concatenate(
-        [plen[:, None], plen[:, None] + jnp.cumsum(seg_len, axis=-1)],
+        [plen[..., None], plen[..., None] + jnp.cumsum(seg_len, axis=-1)],
         axis=-1,
     )
     return h_f, plen_f, h1, v1
@@ -408,12 +410,12 @@ def hermite_plane(h, vdx, h1, v1dx, coeffs, j):
 
 
 def hermite_window(h, v, h1, v1, dx_window, coarse):
-    """Fine Hermite samples [B, C+1] of one coarse window from its node
-    states — the same dense output rk4_window produces."""
-    b00, b10, b01, b11 = (c[None, :] for c in hermite_coeffs(coarse))
+    """Fine Hermite samples [..., C+1] of one coarse window from its node
+    states (any leading shape) — the same dense output rk4_window produces."""
+    b00, b10, b01, b11 = hermite_coeffs(coarse)  # [C+1] each, broadcast last
     return (
-        b00 * h[:, None] + b10 * (v * dx_window)[:, None]
-        + b01 * h1[:, None] + b11 * (v1 * dx_window)[:, None]
+        b00 * h[..., None] + b10 * (v * dx_window)[..., None]
+        + b01 * h1[..., None] + b11 * (v1 * dx_window)[..., None]
     )
 
 

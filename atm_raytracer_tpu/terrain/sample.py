@@ -187,34 +187,44 @@ def _sample_elevation_paired(
     pad = n % 2  # odd tails pair the last sample with itself
     lead = dlat.shape[:-1]
 
-    def pair(x):
+    # the pair axis must NEVER be a minor tensor dimension: [.., P, 2]
+    # forms drag every elementwise op into 2-lane-minor layouts (measured
+    # ~45 ms of relayout/broadcast at 1080p/200 km). Split each pair into
+    # even/odd [.., P] planes instead, extract taps per element, and
+    # interleave only the four final tap planes back to [.., N].
+    def halves(x):
         if pad:
             x = jnp.concatenate([x, x[..., -1:]], axis=-1)
-        return x.reshape(lead + (-1, 2))
+        return x[..., 0::2], x[..., 1::2]
 
-    gip, gjp = pair(gi), pair(gj)
-    ai = jnp.clip(jnp.minimum(gip[..., 0], gip[..., 1]), 0, GR - 4)
-    aj = jnp.clip(jnp.minimum(gjp[..., 0], gjp[..., 1]), 0, GC - 4)
+    gi0, gi1 = halves(gi)
+    gj0, gj1 = halves(gj)
+    ai = jnp.clip(jnp.minimum(gi0, gi1), 0, GR - 4)
+    aj = jnp.clip(jnp.minimum(gj0, gj1), 0, GC - 4)
     rows = jnp.take(pack.win4, ai * GC + aj, axis=0)  # [.., P, 8]
-    oi = jnp.clip(gip - ai[..., None], 0, 2)  # [.., P, 2] in 0..2
-    oj = jnp.clip(gjp - aj[..., None], 0, 2)
+    rows_pl = [rows[..., k] for k in range(8)]  # 8 × [.., P] lane planes
+    oi0 = jnp.clip(gi0 - ai, 0, 2)  # [.., P] in 0..2
+    oi1 = jnp.clip(gi1 - ai, 0, 2)
+    oj0 = jnp.clip(gj0 - aj, 0, 2)
+    oj1 = jnp.clip(gj1 - aj, 0, 2)
 
-    def unpair(x):
-        x = x.reshape(lead + (-1,))
-        return x[..., :n] if pad else x
+    def tap_elem(oi_e, oj_e, a, b):
+        # post (oi+a, oj+b) of one pair element from the 4×4 row:
+        # lane 2r+c2 holds cols (2c2, 2c2+1) of window row r
+        r = oi_e + a
+        c = oj_e + b
+        lane = 2 * r + (c >> 1)  # [.., P] in 0..7
+        word = rows_pl[0]
+        for k in range(1, 8):
+            word = jnp.where(lane == k, rows_pl[k], word)
+        # sign-extending 16-bit unpack (same trick as the quad path)
+        return jnp.where((c & 1) == 1, word >> 16, (word << 16) >> 16)
 
     def tap(a, b):
-        # post (oi+a, oj+b) of each pair element from the 4×4 row:
-        # lane 2r+c2 holds cols (2c2, 2c2+1) of window row r
-        r = oi + a
-        c = oj + b
-        lane = 2 * r + (c >> 1)  # [.., P, 2] in 0..7
-        word = rows[..., 0][..., None] + jnp.zeros_like(lane)
-        for k in range(1, 8):
-            word = jnp.where(lane == k, rows[..., k][..., None], word)
-        # sign-extending 16-bit unpack (same trick as the quad path)
-        val = jnp.where((c & 1) == 1, word >> 16, (word << 16) >> 16)
-        return unpair(val).astype(jnp.float32)
+        v0 = tap_elem(oi0, oj0, a, b)
+        v1 = tap_elem(oi1, oj1, a, b)
+        x = jnp.stack([v0, v1], axis=-1).reshape(lead + (-1,))
+        return (x[..., :n] if pad else x).astype(jnp.float32)
 
     e00 = tap(0, 0)
     e01 = tap(0, 1)
