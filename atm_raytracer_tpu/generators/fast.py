@@ -32,7 +32,7 @@ from ..models.earth import EarthModel
 from ..ops import combine
 from ..ops.composite import composite
 from ..physics.ray import EarthShape, RefractionTable, march_coarse, march_rays
-from ..terrain.sample import paired_step_ok, sample_terrain_data
+from ..terrain.sample import sample_group, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult
 from ..ops.objects import (
@@ -186,7 +186,7 @@ def separable_hits(
     )  # [W, n_terr]
     terr_elev, terr_normal = sample_terrain_data(
         pack, model, dlat, dlon, lat0, lon0,
-        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+        paired=sample_group(pack, model, lat0, step, n_terr * step),
     )
 
     # 3. crossing segments [H, W, K] (int32). The chunked XLA combine fuses
@@ -296,7 +296,7 @@ def _separable_hit_planes(
     )  # [W, n_terr]
     terr_elev, terr_normal = sample_terrain_data(
         pack, model, dlat, dlon, lat0, lon0,
-        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+        paired=sample_group(pack, model, lat0, step, n_terr * step),
     )
 
     n_seg = n_terr - 1

@@ -56,7 +56,7 @@ from ..physics.ray import (
     march_scan_light,
     rk4_window,
 )
-from ..terrain.sample import paired_step_ok, sample_elevation, sample_terrain_data
+from ..terrain.sample import sample_elevation, sample_group, sample_terrain_data
 from ..terrain.store import Terrain, TerrainPack
 from .base import HitBuffer, RenderResult, callbacks_supported, fetch_flat
 from .fast import build_refraction_table, terrain_bbox
@@ -141,7 +141,7 @@ def fused_shared_core(
     )  # [W, n_terr]
     terr_elev, terr_normal = sample_terrain_data(
         pack, model, dlat, dlon, lat0, lon0,
-        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+        paired=sample_group(pack, model, lat0, step, n_terr * step),
     )
     # gathered endpoint rows carry only elevation + normal (4 ch → 8 per
     # pair-row = exactly ONE 8-lane sublane group; TPU gather cost is per
@@ -483,7 +483,7 @@ def shared_column_core(
     )  # [W, n_terr]
     terr_elev, terr_normal = sample_terrain_data(
         pack, model, dlat, dlon, lat0, lon0,
-        paired=paired_step_ok(pack, model, lat0, step, n_terr * step),
+        paired=sample_group(pack, model, lat0, step, n_terr * step),
     )
     # elevation + normal only (one sublane group per gathered pair-row);
     # hit dlat/dlon re-derives per pixel from (column azimuth, key·step) —
@@ -644,8 +644,10 @@ def fused_culled_core(
     radius = shape.radius
     # every terrain sampling below walks geodesics in `step` increments
     # along the last axis (envelope grid, per-candidate fine windows, hit
-    # endpoint pairs) — one static gate covers them all
-    pair_ok = paired_step_ok(pack, model, lat0, step, (n_march + 1) * step)
+    # endpoint pairs) — one static gate covers them all (the endpoint
+    # helper's 2-wide last axis uses plain pairs)
+    grp = sample_group(pack, model, lat0, step, (n_march + 1) * step)
+    pair_ok = grp >= 2
 
     elev_hw, dirr_hw = camera.rectilinear_ray_params_device(
         width, height, fov, tilt, direction
@@ -669,7 +671,7 @@ def fused_culled_core(
         lat0, lon0, az_grid[:, None], dists[None, :]
     )
     env = sample_elevation(
-        pack, env_dl, env_dn, lat0, lon0, paired=pair_ok
+        pack, env_dl, env_dn, lat0, lon0, paired=grp
     )  # [A, n_march+1]
     seg_hi = jnp.maximum(env[:, :-1], env[:, 1:]).reshape(n_env, nb, b_len)
     seg_lo = jnp.minimum(env[:, :-1], env[:, 1:]).reshape(n_env, nb, b_len)
@@ -774,7 +776,7 @@ def fused_culled_core(
         )  # [P, M, B+1]
         dl, dn = model.geodesic_delta(lat0, lon0, az_px[:, None, None], d)
         te = sample_elevation(
-            pack, dl, dn, lat0, lon0, paired=pair_ok
+            pack, dl, dn, lat0, lon0, paired=grp
         )  # [P, M, B+1]
         dd = h_fine - te
         d1 = dd[..., :-1]
@@ -898,7 +900,8 @@ def pixelwise_hits(
     p_n = elev_rad.shape[0]
     n_seg = n_terr - 1
     coarse = march_coarse(step)
-    pair_ok = paired_step_ok(pack, model, lat0, step, n_terr * step)
+    grp = sample_group(pack, model, lat0, step, n_terr * step)
+    pair_ok = grp >= 2
     ray_h, path_len = march_rays(
         alt0, elev_rad, step, n_seg, shape, table, straight, coarse=coarse
     )  # [P, n_terr]
@@ -914,7 +917,7 @@ def pixelwise_hits(
         k0 = c * seg_chunk
         dists = (jnp.arange(seg_chunk + 1, dtype=jnp.float32) + k0.astype(jnp.float32)) * step
         dl, dn = model.geodesic_delta(lat0, lon0, dir_col, dists[None, :])
-        te = sample_elevation(pack, dl, dn, lat0, lon0, paired=pair_ok)  # [P, C+1]
+        te = sample_elevation(pack, dl, dn, lat0, lon0, paired=grp)  # [P, C+1]
         rh = jax.lax.dynamic_slice(ray_h_p, (0, k0), (p_n, seg_chunk + 1))
         al = jax.lax.dynamic_slice(alive_p, (0, k0), (p_n, seg_chunk))
         d1 = rh[:, :-1] - te[:, :-1]

@@ -10,7 +10,7 @@ callers defaulting to 0.0 (e.g. generators/utils.rs:28-31,84).
 from .dted import read_dted, read_dted_header, write_dted
 from .geotiff import read_geotiff, coords_from_name, write_geotiff
 from .store import Terrain, TerrainPack, Tile
-from .sample import paired_step_ok, sample_elevation, sample_terrain_data
+from .sample import paired_step_ok, sample_elevation, sample_group, sample_terrain_data
 
 __all__ = [
     "read_dted",
@@ -23,6 +23,7 @@ __all__ = [
     "TerrainPack",
     "Tile",
     "paired_step_ok",
+    "sample_group",
     "sample_elevation",
     "sample_terrain_data",
 ]

@@ -12,6 +12,7 @@ parts, so tile-local coordinates keep full f32 precision.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
@@ -81,13 +82,15 @@ def sample_elevation(
     lat0/lon0: observer absolute position (python floats, static).
     with_gradient: also return (dE/dlat, dE/dlon) in meters per degree — the
     exact gradient of the sampled bilinear patch, reusing the same 4 taps.
-    paired: consecutive entries along the LAST axis are <2 post cells apart
-    (caller must have checked ``paired_step_ok``) — serve each pair from one
-    win4 gather row (half the launches, bit-identical taps).
+    paired: group size G (int ≥ 2, or True for G=2): G consecutive entries
+    along the LAST axis span <2 post cells (caller must have checked
+    ``sample_group``) — serve each group from ONE win4 gather row (1/G the
+    launches, bit-identical taps).
     """
-    if paired:
-        return _sample_elevation_paired(
-            pack, dlat, dlon, lat0, lon0, with_gradient
+    group = 2 if paired is True else int(paired or 0)
+    if group >= 2:
+        return _sample_elevation_grouped(
+            pack, dlat, dlon, lat0, lon0, with_gradient, group
         )
     (valid, t, row_c, col_c, t_rows_m1, t_cols_m1, ri, ci, rf, cf,
      _, _) = _locate(pack, dlat, dlon, lat0, lon0)
@@ -141,33 +144,49 @@ def _combine_taps(e00, e01, e10, e11, rf, cf, valid, t_rows_m1, t_cols_m1,
     )
 
 
-def paired_step_ok(pack: TerrainPack, model: EarthModel, lat0: float,
-                   step_m: float, max_dist_m: float) -> bool:
-    """Static gate for the paired sampler: consecutive samples ``step_m``
-    apart along any geodesic must land within 2 post cells of each other on
-    BOTH axes (the 4×4 win4 window then covers both bilinear footprints:
-    |Δfloor| ≤ ceil(Δu) ≤ 2 when Δu < 2 post units)."""
+def sample_group(pack: TerrainPack, model: EarthModel, lat0: float,
+                 step_m: float, max_dist_m: float, max_group: int = 6) -> int:
+    """Static group size for the grouped win4 sampler: the largest G such
+    that G consecutive samples ``step_m`` apart along any geodesic span
+    <2 post cells on BOTH axes — the 4×4 win4 window then covers all G
+    bilinear footprints (|Δfloor| ≤ ceil(Δu) ≤ 2 when Δu < 2 post units).
+    Returns 1 when grouping is unavailable (no win4) or unsafe. Gather
+    LAUNCHES, not bytes, bound the terrain stage, so larger G is a direct
+    1/G cut of the [W, N] scan's gather cost (e.g. 50 m steps on 3" tiles:
+    ~0.83 cells/step → G=3)."""
     if pack.win4 is None or pack.uniform is None:
-        return False
+        return 1
     rate_lat, rate_lon = model.max_deg_rates(lat0, max_dist_m)
     cells_lat = step_m * rate_lat * pack.uniform[0]  # posts per step, lat
     cells_lon = step_m * rate_lon * pack.uniform[1]
-    return max(cells_lat, cells_lon) < 1.98
+    cells = max(cells_lat, cells_lon)
+    for g in range(max_group, 1, -1):
+        if (g - 1) * cells < 1.98:
+            return g
+    return 1
 
 
-def _sample_elevation_paired(
+def paired_step_ok(pack: TerrainPack, model: EarthModel, lat0: float,
+                   step_m: float, max_dist_m: float) -> bool:
+    """True when at least pair-of-2 grouping is safe (see sample_group)."""
+    return sample_group(pack, model, lat0, step_m, max_dist_m) >= 2
+
+
+def _sample_elevation_grouped(
     pack: TerrainPack,
     dlat: jnp.ndarray,
     dlon: jnp.ndarray,
     lat0: float,
     lon0: float,
     with_gradient: bool = False,
+    group: int = 2,
 ):
     """``sample_elevation`` for grids whose LAST axis walks a geodesic in
-    sub-2-post steps (``paired_step_ok``): consecutive sample pairs share
-    ONE 32-byte win4 row — half the gather launches of the quad path, with
-    bit-identical taps (win4 is built from the same posts; seam_jump == 0
-    certifies the global grid agrees with every tile-local cell).
+    small steps (``sample_group``): each run of ``group`` consecutive
+    samples shares ONE 32-byte win4 row — 1/G the gather launches of the
+    quad path, with bit-identical taps (win4 is built from the same posts;
+    an interior_seam of 0 certifies the global grid agrees with every
+    tile-local cell).
     """
     (valid, t, row_c, col_c, t_rows_m1, t_cols_m1, ri, ci, rf, cf,
      row_cell, col_cell) = _locate(pack, dlat, dlon, lat0, lon0)
@@ -184,32 +203,33 @@ def _sample_elevation_paired(
     gj = jnp.clip(col_cell * nc_m1 + ci, 0, GC - 2)
 
     n = dlat.shape[-1]
-    pad = n % 2  # odd tails pair the last sample with itself
+    g_n = int(group)
+    pad = (-n) % g_n  # short tails repeat the last sample
     lead = dlat.shape[:-1]
 
-    # the pair axis must NEVER be a minor tensor dimension: [.., P, 2]
-    # forms drag every elementwise op into 2-lane-minor layouts (measured
-    # ~45 ms of relayout/broadcast at 1080p/200 km). Split each pair into
-    # even/odd [.., P] planes instead, extract taps per element, and
+    # the group axis must NEVER be a minor tensor dimension: [.., P, G]
+    # forms drag every elementwise op into G-lane-minor layouts (measured
+    # ~45 ms of relayout/broadcast at 1080p/200 km). Split each group into
+    # G strided [.., P] planes instead, extract taps per element, and
     # interleave only the four final tap planes back to [.., N].
-    def halves(x):
+    def parts(x):
         if pad:
-            x = jnp.concatenate([x, x[..., -1:]], axis=-1)
-        return x[..., 0::2], x[..., 1::2]
+            x = jnp.concatenate([x] + [x[..., -1:]] * pad, axis=-1)
+        return [x[..., g::g_n] for g in range(g_n)]
 
-    gi0, gi1 = halves(gi)
-    gj0, gj1 = halves(gj)
-    ai = jnp.clip(jnp.minimum(gi0, gi1), 0, GR - 4)
-    aj = jnp.clip(jnp.minimum(gj0, gj1), 0, GC - 4)
+    gis = parts(gi)
+    gjs = parts(gj)
+    ai = functools.reduce(jnp.minimum, gis)
+    aj = functools.reduce(jnp.minimum, gjs)
+    ai = jnp.clip(ai, 0, GR - 4)
+    aj = jnp.clip(aj, 0, GC - 4)
     rows = jnp.take(pack.win4, ai * GC + aj, axis=0)  # [.., P, 8]
     rows_pl = [rows[..., k] for k in range(8)]  # 8 × [.., P] lane planes
-    oi0 = jnp.clip(gi0 - ai, 0, 2)  # [.., P] in 0..2
-    oi1 = jnp.clip(gi1 - ai, 0, 2)
-    oj0 = jnp.clip(gj0 - aj, 0, 2)
-    oj1 = jnp.clip(gj1 - aj, 0, 2)
+    ois = [jnp.clip(g_, 0, 2) for g_ in (x - ai for x in gis)]  # [.., P] 0..2
+    ojs = [jnp.clip(g_, 0, 2) for g_ in (x - aj for x in gjs)]
 
     def tap_elem(oi_e, oj_e, a, b):
-        # post (oi+a, oj+b) of one pair element from the 4×4 row:
+        # post (oi+a, oj+b) of one group element from the 4×4 row:
         # lane 2r+c2 holds cols (2c2, 2c2+1) of window row r
         r = oi_e + a
         c = oj_e + b
@@ -221,9 +241,8 @@ def _sample_elevation_paired(
         return jnp.where((c & 1) == 1, word >> 16, (word << 16) >> 16)
 
     def tap(a, b):
-        v0 = tap_elem(oi0, oj0, a, b)
-        v1 = tap_elem(oi1, oj1, a, b)
-        x = jnp.stack([v0, v1], axis=-1).reshape(lead + (-1,))
+        vs = [tap_elem(ois[g], ojs[g], a, b) for g in range(g_n)]
+        x = jnp.stack(vs, axis=-1).reshape(lead + (-1,))
         return (x[..., :n] if pad else x).astype(jnp.float32)
 
     e00 = tap(0, 0)
@@ -247,9 +266,9 @@ def sample_terrain_data(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Elevation + outward surface normal at each point.
 
-    ``paired=True`` (gradient mode only; caller must have checked
-    ``paired_step_ok``) serves consecutive pairs along the LAST axis from
-    one win4 gather row each — bit-identical taps, half the launches.
+    ``paired`` (gradient mode only; an int group size from ``sample_group``,
+    or True for pairs) serves runs of G consecutive samples along the LAST
+    axis from one win4 gather row each — bit-identical taps, 1/G launches.
 
     normal_mode:
       * "gradient" (default): normal from the exact gradient of the sampled

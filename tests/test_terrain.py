@@ -302,15 +302,29 @@ def test_paired_sampler_bit_identical(tmp_path):
         EarthModel(kind="AzimuthalEquidistant"),
         EarthModel(kind="FlatDistorted"),
     ]
+    from atm_raytracer_tpu.terrain.sample import sample_group
+
     # 40 km stays inside the 2°×2° mosaic; 300 km exits it in every azimuth
     for step, n in [(50.0, 800), (200.0, 1501)]:
         dists = jnp.arange(1, n + 1, dtype=jnp.float32) * step
         for model in models:
             assert paired_step_ok(pack, model, lat0, step, n * step)
+            g_auto = sample_group(pack, model, lat0, step, n * step)
             dlat, dlon = model.geodesic_delta(
                 lat0, lon0, az[:, None], dists[None, :]
             )
             e0, n0 = sample_terrain_data(pack, model, dlat, dlon, lat0, lon0)
+            # every SAFE group size must reproduce the quad path bitwise,
+            # including odd group sizes (G=3) and n not divisible by G
+            for g in sorted({2, 3, g_auto}):
+                if g > g_auto:
+                    continue
+                e1, n1 = sample_terrain_data(
+                    pack, model, dlat, dlon, lat0, lon0, paired=g
+                )
+                assert bool(jnp.all(e0 == e1)), (model.kind, step, g)
+                assert bool(jnp.all(n0 == n1)), (model.kind, step, g)
+            # bool True still means pairs (back-compat for the culled path)
             e1, n1 = sample_terrain_data(
                 pack, model, dlat, dlon, lat0, lon0, paired=True
             )
