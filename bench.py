@@ -302,14 +302,21 @@ def bench_sweep(terrain):
     ).into_params(terrain)
     mesh = make_mesh(jax.devices()[:1])
     dirs = [i * 45.0 for i in range(8)]
+    shares = {}
 
     def run():
+        t0 = time.perf_counter()
         frames = render_sweep_sharded(params, terrain, mesh, directions_deg=dirs)
+        # device completion first (one-element device_get; CLAUDE.md —
+        # block_until_ready is unreliable over the tunnel), then the fetch
+        jax.device_get(frames.ravel()[0])
+        shares["device_s"] = round(time.perf_counter() - t0, 3)
         np.asarray(frames.reshape(-1))
 
     wall = _timed(run, runs=2)
     _emit("sweep_360", wall, width, height, max_distance, step,
-          note="8x720p 360deg sweep ", frames=len(dirs))
+          note=f"8x720p 360deg sweep; device={shares['device_s']}s ",
+          frames=len(dirs))
 
 
 def bench_generator(terrain, gen: str):
