@@ -36,6 +36,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if hasattr(np, "bitwise_count"):
+    _popcount = np.bitwise_count
+else:  # NumPy < 2.0 (pyproject declares no floor): unpackbits fallback
+    def _popcount(a):
+        arr = np.atleast_1d(np.ascontiguousarray(a, dtype=np.uint32))
+        bits = np.unpackbits(arr.view(np.uint8)).reshape(arr.size, 32)
+        return bits.sum(axis=-1, dtype=np.int64).reshape(np.shape(a))
+
 _LEVELS = float(1 << 24)  # usable quantization levels (f32-round bounded)
 
 
@@ -447,10 +455,10 @@ class ViewerFieldsSeparable:
         full-frame cumsum index (~1 s at 8K×2 K) for one pixel.
         """
         wq, r = divmod(base, 32)
-        c = int(np.bitwise_count(self._bits[:wq]).sum(dtype=np.int64))
+        c = int(_popcount(self._bits[:wq]).sum(dtype=np.int64))
         if r:
             tail = self._bits[wq] & np.uint32((1 << r) - 1)
-            c += int(np.bitwise_count(tail))
+            c += int(_popcount(tail))
         return c
 
     def pixel(self, y: int, x: int):

@@ -74,7 +74,7 @@ def sample_elevation(
     lat0: float,
     lon0: float,
     with_gradient: bool = False,
-    paired: bool = False,
+    paired: bool | int = False,
 ):
     """Bilinear elevation at (lat0+dlat, lon0+dlon); missing tiles → 0.0.
 
@@ -262,7 +262,7 @@ def sample_terrain_data(
     lat0: float,
     lon0: float,
     normal_mode: str = "gradient",
-    paired: bool = False,
+    paired: bool | int = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Elevation + outward surface normal at each point.
 

@@ -403,11 +403,16 @@ class Terrain:
             # rooted there, so the paired sampler (terrain/sample.py)
             # serves TWO consecutive march samples from ONE gather row —
             # gather launches, not bytes, bound the [W, N] terrain stage.
-            # Exists only when the mosaic is seam-consistent (seam_jump == 0
-            # certifies every shared edge post agrees, including the all-zero
-            # edges next to missing tiles), so the global post grid is
+            # Exists only when the pack is INTERIOR-seam-consistent
+            # (interior_seam == 0 certifies every shared edge post inside
+            # the slot grid agrees — including the zero edges a missing
+            # interior slot contributes), so the global post grid is
             # well-defined and win4 taps are bit-identical to the per-tile
-            # quad taps.
+            # quad taps. The broader requested-box seam_jump deliberately
+            # does NOT gate win4: views whose bbox overhangs the mosaic
+            # make it > 0 via the 0.0 fallback past the loaded tiles, but
+            # those samples are masked invalid in both paths (see the
+            # overhang rationale above interior_seam).
             GR = n_lats * (nr - 1) + 1
             GC = n_lons * (nc - 1) + 1
             g = np.zeros((GR, GC), np.int16)

@@ -86,14 +86,25 @@ def _emit(metric, wall, width, height, max_distance, step, note="", frames=1):
     )
 
 
-def _timed(fn, runs=3):
+def _timed(fn, runs=3, pick=None):
+    """Median wall over ``runs`` timed calls after one warmup.
+
+    If ``pick`` is a list, the 0-based index (into the timed runs, warmup
+    excluded) of the run whose wall is closest to the reported median is
+    appended, so callers can pair per-run side stats (device/transfer
+    shares) with the SAME run the reported wall comes from instead of
+    mixing statistics across runs.
+    """
     fn()  # warmup / compile
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    med = float(np.median(times))
+    if pick is not None:
+        pick.append(int(np.argmin([abs(t - med) for t in times])))
+    return med
 
 
 def bench_headline(terrain):
@@ -254,9 +265,10 @@ def bench_8k_metadata(terrain):
         _view_dict(width, height, 120.0, max_distance, step)
     ).into_params(terrain)
 
-    shares = {}
+    per_run = []
 
     def run():
+        stats = {}
         t0 = time.perf_counter()
         r = render_fast(params, terrain, fetch_image=False)
         # force device completion before timing the transfers (CLAUDE.md:
@@ -276,12 +288,15 @@ def bench_8k_metadata(terrain):
         t2 = time.perf_counter()
         px = vf.pixel(height // 2, width // 2)
         assert px["key"].shape == (r.hits.key.shape[-1],)
-        shares["device_s"] = round(t1 - t0, 3)
-        shares["transfer_s"] = round(t2 - t1, 3)
-        shares["meta_mb"] = round(vf.nbytes / 1e6, 1)
-        shares["pixel_decode_s"] = round(time.perf_counter() - t2, 4)
+        stats["device_s"] = round(t1 - t0, 3)
+        stats["transfer_s"] = round(t2 - t1, 3)
+        stats["meta_mb"] = round(vf.nbytes / 1e6, 1)
+        stats["pixel_decode_s"] = round(time.perf_counter() - t2, 4)
+        per_run.append(stats)
 
-    wall = _timed(run, runs=2)
+    pick = []
+    wall = _timed(run, runs=2, pick=pick)
+    shares = per_run[1 + pick[0]]  # per_run[0] is the warmup run
     _emit("wide_8k_metadata", wall, width, height, max_distance, step,
           note=(f"8192x2048 fov=120 +metadata; device={shares['device_s']}s "
                 f"image+meta_transfer={shares['transfer_s']}s "
@@ -302,7 +317,7 @@ def bench_sweep(terrain):
     ).into_params(terrain)
     mesh = make_mesh(jax.devices()[:1])
     dirs = [i * 45.0 for i in range(8)]
-    shares = {}
+    per_run = []
 
     def run():
         t0 = time.perf_counter()
@@ -310,10 +325,12 @@ def bench_sweep(terrain):
         # device completion first (one-element device_get; CLAUDE.md —
         # block_until_ready is unreliable over the tunnel), then the fetch
         jax.device_get(frames.ravel()[0])
-        shares["device_s"] = round(time.perf_counter() - t0, 3)
+        per_run.append({"device_s": round(time.perf_counter() - t0, 3)})
         np.asarray(frames.reshape(-1))
 
-    wall = _timed(run, runs=2)
+    pick = []
+    wall = _timed(run, runs=2, pick=pick)
+    shares = per_run[1 + pick[0]]  # per_run[0] is the warmup run
     _emit("sweep_360", wall, width, height, max_distance, step,
           note=f"8x720p 360deg sweep; device={shares['device_s']}s ",
           frames=len(dirs))

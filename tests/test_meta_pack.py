@@ -254,3 +254,26 @@ def test_separable_pack_empty_frame():
     assert vf.nbytes == ((5 * 7 + 31) // 32) * 4
     px = vf.pixel(2, 3)
     assert not px["valid"].any()
+
+
+def test_popcount_fallback_matches_bitwise_count():
+    """ADVICE r3: np.bitwise_count is NumPy>=2 only; the unpackbits
+    fallback must agree on arrays AND scalars (the two _rank call shapes)."""
+    import numpy as np
+
+    from atm_raytracer_tpu.meta import pack
+
+    def fallback(a):
+        arr = np.atleast_1d(np.ascontiguousarray(a, dtype=np.uint32))
+        bits = np.unpackbits(arr.view(np.uint8)).reshape(arr.size, 32)
+        return bits.sum(axis=-1, dtype=np.int64).reshape(np.shape(a))
+
+    rng = np.random.default_rng(7)
+    words = rng.integers(0, 2**32, size=257, dtype=np.uint32)
+    assert np.array_equal(fallback(words), np.bitwise_count(words))
+    scalar = np.uint32(0xDEADBEEF)
+    assert int(fallback(scalar)) == int(np.bitwise_count(scalar))
+    assert int(fallback(words[:0]).sum(dtype=np.int64)) == 0
+    # the module-level _popcount (whichever branch was taken at import)
+    # agrees with the fallback too
+    assert np.array_equal(np.asarray(pack._popcount(words)), fallback(words))
