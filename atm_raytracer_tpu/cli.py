@@ -125,7 +125,21 @@ def run_gen(args) -> int:
             result = render_rectilinear_sharded(params, terrain, mesh)
         progress(100)
     elif gen == "Fast":
-        result = render_fast(params, terrain, progress=progress)
+        from .generators.base import callbacks_supported
+
+        if callbacks_supported():
+            result = render_fast(params, terrain, progress=progress)
+        else:
+            # the axon TPU plugin rejects host callbacks; banded dispatch
+            # gives monotone percent lines anyway (and overlaps the image
+            # transfer with device compute) — fast.rs:78-87 semantics
+            from .generators.fast import render_fast_streamed
+
+            result = render_fast_streamed(
+                params, terrain,
+                bands=int(os.environ.get("ATM_RAYTRACER_BANDS", "8")),
+                progress=progress,
+            )
     elif gen == "Rectilinear":
         from .generators.rectilinear import render_rectilinear
 

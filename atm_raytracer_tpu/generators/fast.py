@@ -148,11 +148,16 @@ def separable_hits(
     terrain_alpha: float,
     obj_windows=None,  # static per-object (col_lo, n) tuples; None = full W
     with_progress: bool = False,
+    march=None,  # optional precomputed (ray_h [H,N], path_len [H,N])
 ) -> HitBuffer:
     """Hits on the separable (elevation-row × azimuth-column) product grid.
 
     Shared by the Fast generator (camera rows/columns) and the
     InterpolatingRectilinear generator (snapped angular grid).
+
+    ``march``: a precomputed (ray_h, path_len) pair — the banded/streamed
+    render marches ONCE and shares the row cache across column bands
+    (exactly the reference's per-row path cache reuse, fast.rs:38-44).
 
     Scene-object frames route through the plane-first twin
     ``_separable_hit_planes`` — the object merge's slice/concat consumers
@@ -171,11 +176,14 @@ def separable_hits(
     # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174.
     # Coarse RK4 + Hermite dense output caps the sequential chain at ~500m
     # granularity (parity with fine-step: tests/test_ray.py).
-    coarse = march_coarse(step)
-    ray_h, path_len = march_rays(
-        alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
-        shape, table, straight, coarse=coarse, progress=with_progress,
-    )
+    if march is not None:
+        ray_h, path_len = march
+    else:
+        coarse = march_coarse(step)
+        ray_h, path_len = march_rays(
+            alt0, jnp.deg2rad(elev_deg.astype(jnp.float32)), step, n_terr - 1,
+            shape, table, straight, coarse=coarse, progress=with_progress,
+        )
 
     # 2. terrain cache: geodesic per column × march step — utils.rs:176-199.
     # Elevation + normal share the same 4 bilinear taps (gradient mode), so
@@ -416,6 +424,7 @@ def fast_core(
     terrain_alpha: float,
     obj_windows=None,
     with_progress: bool = False,
+    march=None,
 ):
     """The whole Fast pipeline as one traceable function (vmappable for
     batched sweeps, shardable for multi-chip)."""
@@ -423,7 +432,7 @@ def fast_core(
         pack, table, objects, elev_deg, az_deg, alt0,
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
         max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
-        obj_windows=obj_windows, with_progress=with_progress,
+        obj_windows=obj_windows, with_progress=with_progress, march=march,
     )
     image = composite(
         coloring,
@@ -523,6 +532,133 @@ def render_fast(params: Params, terrain: Terrain,
         image=image_host,
         # hits stay on device: fetching ~14 fields × H×W×K is pure transfer
         # cost unless metadata is requested (save_metadata np.asarrays them)
+        hits=hits,
+        elevation_deg=elev_deg,
+        azimuth_deg=camera.wrap_azimuth_deg(az_deg),
+        observer=(pos.latitude, pos.longitude, alt0),
+    )
+
+
+_march_device = functools.partial(
+    jax.jit,
+    static_argnames=("step", "n_steps", "shape", "straight", "coarse"),
+)(march_rays)
+
+
+def _largest_band_divisor(w: int, bands: int) -> int:
+    for b in range(min(bands, w), 0, -1):
+        if w % b == 0:
+            return b
+    return 1
+
+
+def render_fast_streamed(
+    params: Params,
+    terrain: Terrain,
+    bands: int = 8,
+    max_hits: Optional[int] = None,
+    progress=None,
+) -> RenderResult:
+    """Banded Fast render: march once, combine per column band, STREAM.
+
+    The Fast generator is separable (fast.rs:27-44): the per-row path cache
+    is column-independent, so the frame splits into contiguous azimuth bands
+    that share one march. Each band is dispatched asynchronously and its
+    image slice fetched from the overlap pool while later bands still
+    compute — so on the dev tunnel the device→host transfer hides behind
+    device time instead of following it, and ``progress`` gets a monotone
+    per-band percent even on backends that reject host callbacks (the
+    reference's per-percent counter, fast.rs:78-87, without
+    jax.debug.callback).
+
+    Output is bit-identical to :func:`render_fast` up to XLA program-shape
+    codegen (same ops, two dispatches instead of one — pinned by
+    tests/test_e2e_fast.py::test_streamed_matches_plain). Scene-object
+    frames fall back to the single-dispatch path: their per-object column
+    windows are static per band and would compile one program per band.
+    """
+    if params.objects:
+        return render_fast(params, terrain, max_hits=max_hits,
+                           progress=progress)
+
+    out = params.output
+    frame = params.view.frame
+    pos = params.view.position
+    alt0 = pos.abs_altitude(terrain)
+
+    elev_deg = camera.fast_ray_elevations(
+        out.width, out.height, frame.fov, frame.tilt
+    )
+    az_deg = camera.fast_ray_azimuths(
+        out.width, out.height, frame.fov, frame.direction
+    )
+
+    lat_rng, lon_rng = terrain_bbox(params)
+    pack = terrain.pack(lat_rng, lon_rng)
+    table = build_refraction_table(params, alt0)
+    n_terr = int(math.ceil(frame.max_distance / params.simulation_step))
+    if max_hits is None:
+        max_hits = 1 if params.terrain_alpha >= 1.0 else 4
+
+    w = out.width
+    b = _largest_band_divisor(w, max(1, int(bands)))
+    wb = w // b
+    shape = params.model.to_shape()
+    step = float(params.simulation_step)
+
+    march = _march_device(
+        float(alt0), jnp.deg2rad(jnp.asarray(elev_deg, jnp.float32)),
+        step=step, n_steps=n_terr - 1, shape=shape, table=table,
+        straight=params.straight_rays, coarse=march_coarse(step),
+    )
+
+    from .base import fetch_pool, submit_fetch
+
+    az32 = jnp.asarray(az_deg, jnp.float32)
+    band_hits = []
+    outs = []
+    futs = []
+    ex = fetch_pool()
+    try:
+        for i in range(b):
+            image_b, hits_b = _render_fast_device(
+                pack, table, None,
+                jnp.asarray(elev_deg, jnp.float32),
+                az32[i * wb:(i + 1) * wb],
+                float(alt0),
+                model=params.model, shape=shape,
+                straight=params.straight_rays, step=step, n_terr=n_terr,
+                max_hits=int(max_hits), lat0=float(pos.latitude),
+                lon0=float(pos.longitude), coloring=params.coloring,
+                fog_distance=params.view.fog_distance,
+                terrain_alpha=float(params.terrain_alpha),
+                march=march,
+            )
+            band_hits.append(hits_b)
+            # the fetch thread blocks inside np.asarray until THIS band's
+            # program completes, while the host loop keeps dispatching the
+            # rest — transfers pipeline against later bands' device compute
+            o, f = submit_fetch(ex, (image_b.reshape(-1),))
+            outs.append(o[0])
+            futs.append(f)
+        for i, fs in enumerate(futs):
+            for f in fs:
+                f.result()
+            if progress is not None:
+                progress(int(round(100.0 * (i + 1) / b)))
+    finally:
+        ex.shutdown(wait=True)
+
+    image_host = np.concatenate(
+        [o.reshape(out.height, wb, 3) for o in outs], axis=1
+    )
+    # hits re-join on device (one concat per field); metadata consumers see
+    # the identical [H, W, K] buffers render_fast produces
+    hits = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *band_hits
+    )
+    return RenderResult(
+        image=image_host,
         hits=hits,
         elevation_deg=elev_deg,
         azimuth_deg=camera.wrap_azimuth_deg(az_deg),

@@ -166,6 +166,138 @@ def _interp_weights(present: jnp.ndarray, rem_e: jnp.ndarray, rem_d: jnp.ndarray
     return ok, w
 
 
+# entry counts up to this use the unrolled pairwise grouping (a flat graph
+# of [H, W] plane ops — fastest at the benched plain-scene sizes, E = 4);
+# above it the same math runs as three fori_loops over the entry axis, or the
+# O(E²) unroll emits tens of thousands of HLO ops (E = 32 for an object
+# scene's K = 8 grid) and XLA's backend blows up superlinearly — measured
+# >30 min CPU / >10 min TPU cold compiles for a 64×48 frame.
+_GROUP_UNROLL_MAX_E = 8
+
+
+def _group_slot_ranks(ent_valid, dist, kind, step_size):
+    """Trace-point grouping + slot ranking (collect_trace_points, :213-243).
+
+    Inputs are [E, H, W] entry planes in corner-major creation order; the
+    result is each entry's OUTPUT SLOT rank: groups (same-kind entries within
+    one simulation step of any earlier member, reference semantics) ranked
+    ascending by (min member distance, creation gid). Two implementations of
+    identical math — unrolled plane ops for small E, fori_loops over the
+    entry axis for large E (compile-size, see _GROUP_UNROLL_MAX_E) — pinned
+    bit-identical by tests/test_interpolating.py::test_group_ranks_loop_parity
+    (every op is an exact select/min/compare: no reassociation error).
+    """
+    if ent_valid.shape[0] <= _GROUP_UNROLL_MAX_E:
+        return _group_slot_ranks_unrolled(ent_valid, dist, kind, step_size)
+    return _group_slot_ranks_loop(ent_valid, dist, kind, step_size)
+
+
+def _group_slot_ranks_unrolled(ent_valid, dist, kind, step_size):
+    e_n, h_n, w_n = ent_valid.shape
+    dist_key = jnp.where(ent_valid, dist, jnp.inf)
+    d_list = [dist_key[i] for i in range(e_n)]
+    k_list = [kind[i] for i in range(e_n)]
+    v_list = [ent_valid[i] for i in range(e_n)]
+    big_gid = jnp.float32(e_n + 1)  # > any real gid; min-identity
+    gid_l, head_l = [], []
+    next_gid = jnp.zeros((h_n, w_n), jnp.float32)
+    for i in range(e_n):
+        best = jnp.full((h_n, w_n), big_gid)
+        for j in range(i):
+            match = (
+                v_list[i] & v_list[j]
+                & (k_list[i] == k_list[j])
+                & (jnp.abs(d_list[i] - d_list[j]) < step_size)
+            )
+            best = jnp.where(match, jnp.minimum(best, gid_l[j]), best)
+        head = v_list[i] & (best >= big_gid)
+        gid_l.append(jnp.where(head, next_gid, best))
+        head_l.append(head)
+        next_gid = next_gid + head.astype(jnp.float32)
+    # slot ordering: rank groups by (min member distance, gid) ascending
+    gmd_l = []  # per entry: its group's minimum distance
+    for i in range(e_n):
+        gmd = d_list[i]
+        for j in range(e_n):
+            if j == i:
+                continue
+            same = v_list[i] & v_list[j] & (gid_l[i] == gid_l[j])
+            gmd = jnp.where(same, jnp.minimum(gmd, d_list[j]), gmd)
+        gmd_l.append(gmd)
+    rank_l = []
+    for i in range(e_n):
+        r = jnp.zeros((h_n, w_n), jnp.float32)
+        for j in range(e_n):
+            ahead = head_l[j] & (
+                (gmd_l[j] < gmd_l[i])
+                | ((gmd_l[j] == gmd_l[i]) & (gid_l[j] < gid_l[i]))
+            )
+            r = r + ahead.astype(jnp.float32)
+        rank_l.append(r)
+    return jnp.stack(rank_l, axis=0).astype(jnp.int32)
+
+
+def _group_slot_ranks_loop(ent_valid, dist, kind, step_size):
+    e_n = ent_valid.shape[0]
+    dist_key = jnp.where(ent_valid, dist, jnp.inf)
+    big_gid = jnp.float32(e_n + 1)
+    jidx = jnp.arange(e_n, dtype=jnp.int32)[:, None, None]
+
+    def row(x, i):  # [H, W] slice of an [E, H, W] plane stack
+        return jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
+
+    # pass 1 (sequential by construction): entry i joins the min gid over
+    # matching EARLIER entries, else heads a new group. Rows ≥ i of `gid`
+    # still hold the big_gid init but are masked off by jidx < i.
+    def assign(i, carry):
+        gid, head, next_gid = carry
+        v_i, d_i, k_i = row(ent_valid, i), row(dist_key, i), row(kind, i)
+        match = (
+            v_i[None] & ent_valid & (kind == k_i[None])
+            & (jnp.abs(dist_key - d_i[None]) < step_size)
+            & (jidx < i)
+        )
+        best = jnp.min(jnp.where(match, gid, big_gid), axis=0)
+        is_head = v_i & (best >= big_gid)
+        gid = jax.lax.dynamic_update_index_in_dim(
+            gid, jnp.where(is_head, next_gid, best), i, 0
+        )
+        head = jax.lax.dynamic_update_index_in_dim(head, is_head, i, 0)
+        return gid, head, next_gid + is_head.astype(jnp.float32)
+
+    gid, head, _ = jax.lax.fori_loop(
+        0, e_n, assign,
+        (
+            jnp.full(ent_valid.shape, big_gid),
+            jnp.zeros(ent_valid.shape, bool),
+            jnp.zeros(ent_valid.shape[1:], jnp.float32),
+        ),
+    )
+
+    # pass 2: per entry, its group's minimum member distance (j == i folds
+    # into the running min as min(d_i, d_i) — identical to skipping it)
+    def group_min(j, gmd):
+        v_j, d_j, g_j = row(ent_valid, j), row(dist_key, j), row(gid, j)
+        same = ent_valid & v_j[None] & (gid == g_j[None])
+        return jnp.where(same, jnp.minimum(gmd, d_j[None]), gmd)
+
+    gmd = jax.lax.fori_loop(0, e_n, group_min, dist_key)
+
+    # pass 3: rank = number of group heads strictly ahead by
+    # (min distance, creation gid)
+    def count_ahead(j, r):
+        h_j, m_j, g_j = row(head, j), row(gmd, j), row(gid, j)
+        ahead = h_j[None] & (
+            (m_j[None] < gmd) | ((m_j[None] == gmd) & (g_j[None] < gid))
+        )
+        return r + ahead.astype(jnp.float32)
+
+    rank = jax.lax.fori_loop(
+        0, e_n, count_ahead, jnp.zeros(ent_valid.shape, jnp.float32)
+    )
+    return rank.astype(jnp.int32)
+
+
 def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
                         k_out: int, has_objects: bool = True) -> HitBuffer:
     """Per-output-pixel corner gather + grouping + interpolation.
@@ -269,47 +401,9 @@ def _interpolate_pixels(grid: HitBuffer, gi, gj, rem_e, rem_d, step_size,
     # -- grouping: exact collect_trace_points (:213-243) ---------------------
     # Pairwise same-kind closeness in corner-major entry order; entry i
     # joins min gid over matching earlier entries, else opens a new group.
-    dist_key = jnp.where(ent_valid, ent["distance"], jnp.inf)
-    d_list = [dist_key[i] for i in range(e_n)]
-    k_list = [ent["kind"][i] for i in range(e_n)]
-    v_list = [ent_valid[i] for i in range(e_n)]
-    big_gid = jnp.float32(e_n + 1)  # > any real gid; min-identity
-    gid_l, head_l = [], []
-    next_gid = jnp.zeros((h_n, w_n), jnp.float32)
-    for i in range(e_n):
-        best = jnp.full((h_n, w_n), big_gid)
-        for j in range(i):
-            match = (
-                v_list[i] & v_list[j]
-                & (k_list[i] == k_list[j])
-                & (jnp.abs(d_list[i] - d_list[j]) < step_size)
-            )
-            best = jnp.where(match, jnp.minimum(best, gid_l[j]), best)
-        head = v_list[i] & (best >= big_gid)
-        gid_l.append(jnp.where(head, next_gid, best))
-        head_l.append(head)
-        next_gid = next_gid + head.astype(jnp.float32)
-    # slot ordering: rank groups by (min member distance, gid) ascending
-    gmd_l = []  # per entry: its group's minimum distance
-    for i in range(e_n):
-        gmd = d_list[i]
-        for j in range(e_n):
-            if j == i:
-                continue
-            same = v_list[i] & v_list[j] & (gid_l[i] == gid_l[j])
-            gmd = jnp.where(same, jnp.minimum(gmd, d_list[j]), gmd)
-        gmd_l.append(gmd)
-    rank_l = []
-    for i in range(e_n):
-        r = jnp.zeros((h_n, w_n), jnp.float32)
-        for j in range(e_n):
-            ahead = head_l[j] & (
-                (gmd_l[j] < gmd_l[i])
-                | ((gmd_l[j] == gmd_l[i]) & (gid_l[j] < gid_l[i]))
-            )
-            r = r + ahead.astype(jnp.float32)
-        rank_l.append(r)
-    gid = jnp.stack(rank_l, axis=0).astype(jnp.int32)  # [E, H, W] slot rank
+    gid = _group_slot_ranks(
+        ent_valid, ent["distance"], ent["kind"], step_size
+    )  # [E, H, W] slot rank
 
     # -- per output slot g (nearest k_out groups): last-entry-per-corner
     #    selection (match_sequence :245-265) + weight-space interpolation ----

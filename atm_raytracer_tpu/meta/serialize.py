@@ -3,24 +3,75 @@
 Replaces the reference's gzip(bincode(AllData{params, result})) artifact
 (src/generator/mod.rs:20-45, decoded in src/viewer/mod.rs:12-34). The format
 here is a compressed npz (zip+deflate) carrying the config as YAML plus the
-dense hit buffers; like the reference's, it is enough to re-render and
-inspect the image without terrain data or re-simulation (SURVEY §5
-checkpoint/resume). Byte format is explicitly NOT bincode-compatible — the
-capability (round-trip of params + per-pixel trace points) is what is
-preserved.
+hit buffers; like the reference's, it is enough to re-render and inspect the
+image without terrain data or re-simulation (SURVEY §5 checkpoint/resume).
+Byte format is explicitly NOT bincode-compatible — the capability
+(round-trip of params + per-pixel trace points) is what is preserved.
+
+Format v2 (current writer): VALID-SLOT COMPACTION, exact payloads. The dense
+[H, W, K] hit planes are mostly empty (sky pixels; K slots per pixel with
+typically ≤1 hit), so the device packs a u32 validity bitmask plus only the
+valid slots' fields, compacted in flat C order — 41 B per valid slot +
+P/8 bitmask bytes instead of 53 B per slot valid or not, a ~4-5× cut on
+typical frames before deflate. Every stored value is the EXACT f32 the
+render produced (no range coding): reloading reproduces the renderer's
+composite bit-identically. ``distance`` is not stored — it is
+``where(valid, key, 0)·step`` by construction everywhere (generators/fast.py,
+ops/objects.py:595,1005), the identical f32 expression re-applied on load.
+Invalid slots decode to canonical fillers (key=+inf NO_HIT, 0 elsewhere);
+renders leave garbage-but-masked values there, and every consumer gates on
+``valid``. v1 (dense planes) files remain readable.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import yaml
 
 from ..config import Config
 from ..generators.base import HitBuffer, RenderResult
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+
+@jax.jit
+def _pack_artifact(valid, key, dlat, dlon, elevation, path_length, normal,
+                   kind, rgba):
+    """Device-side valid-slot compaction of all artifact fields.
+
+    Returns (bits u32 [ceil(P/32)], count i32, key/dlat/dlon/elev/plen f32
+    [P], normal f32 [P,3], kind i32 [P], rgba f32 [P,4]) with valid entries
+    compacted to the front; callers fetch only the first ``count`` rows
+    (kind narrows to u8 host-side — sub-u32 scatters are unproven on the
+    remote TPU toolchain, u32/f32 are exercised daily by meta/pack.py).
+    """
+    vflat = valid.reshape(-1)
+    p = vflat.shape[0]
+    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    idx = jnp.where(vflat, pos, p)  # invalid slots dropped by mode="drop"
+
+    def compact(x):
+        x = x.reshape((p,) + x.shape[valid.ndim:])
+        return jnp.zeros((p,) + x.shape[1:], x.dtype).at[idx].set(
+            x, mode="drop"
+        )
+
+    count = jnp.sum(vflat.astype(jnp.int32))
+    pad = (-p) % 32
+    vpad = jnp.concatenate(
+        [vflat, jnp.zeros((pad,), bool)]
+    ).reshape(-1, 32).astype(jnp.uint32)
+    bits = jnp.sum(
+        vpad << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+        dtype=jnp.uint32,
+    )
+    return (bits, count, compact(key), compact(dlat), compact(dlon),
+            compact(elevation), compact(path_length), compact(normal),
+            compact(kind), compact(rgba))
 
 
 def save_metadata(path, config: Config, result: RenderResult) -> None:
@@ -34,19 +85,22 @@ def save_metadata(path, config: Config, result: RenderResult) -> None:
 def _savez(fh, config, result, hits):
     from ..generators.base import fetch_flat_many
 
-    # ONE shared-pool staging of all ten hit fields: flat fetches avoid the
-    # device de-tiling pass on the minor dims, and pooling pipelines the
-    # many ~8-33 MB per-field transfers that would otherwise serialize
-    names = ("valid", "key", "dlat", "dlon", "distance", "elevation",
-             "path_length", "normal", "kind", "rgba")
-    dtypes = (bool, np.float32, np.float32, np.float32, np.float32,
-              np.float32, np.float32, np.float32, np.int32, np.float32)
-    arrays = [getattr(hits, n) for n in names]
-    flats = fetch_flat_many(arrays)
-    fields = {
-        n: f.reshape(a.shape).astype(d, copy=False)
-        for n, f, a, d in zip(names, flats, arrays, dtypes)
-    }
+    (bits, count, key_c, dlat_c, dlon_c, el_c, pl_c, normal_c, kind_c,
+     rgba_c) = _pack_artifact(
+        jnp.asarray(hits.valid), jnp.asarray(hits.key),
+        jnp.asarray(hits.dlat), jnp.asarray(hits.dlon),
+        jnp.asarray(hits.elevation), jnp.asarray(hits.path_length),
+        jnp.asarray(hits.normal), jnp.asarray(hits.kind),
+        jnp.asarray(hits.rgba),
+    )
+    n = int(jax.device_get(count))
+    # ONE shared-pool staging of the compact segments (pipelined transfers;
+    # generators/base.py fetch notes)
+    flats = fetch_flat_many(
+        (bits, key_c[:n], dlat_c[:n], dlon_c[:n], el_c[:n], pl_c[:n],
+         normal_c[:n], kind_c[:n], rgba_c[:n])
+    )
+    bits_h, key_h, dlat_h, dlon_h, el_h, pl_h, nrm_h, kind_h, rgba_h = flats
 
     np.savez_compressed(
         fh,
@@ -57,7 +111,51 @@ def _savez(fh, config, result, hits):
         observer=np.asarray(result.observer, np.float64),
         elevation_deg=np.asarray(result.elevation_deg, np.float64),
         azimuth_deg=np.asarray(result.azimuth_deg, np.float64),
-        **fields,
+        shape=np.asarray(hits.valid.shape, np.int64),
+        bits=bits_h.astype(np.uint32, copy=False),
+        key=key_h.astype(np.float32, copy=False),
+        dlat=dlat_h.astype(np.float32, copy=False),
+        dlon=dlon_h.astype(np.float32, copy=False),
+        elevation=el_h.astype(np.float32, copy=False),
+        path_length=pl_h.astype(np.float32, copy=False),
+        normal=nrm_h.reshape(n, 3).astype(np.float32, copy=False),
+        kind=kind_h.astype(np.uint8, copy=False),
+        rgba=rgba_h.reshape(n, 4).astype(np.float32, copy=False),
+    )
+
+
+def _unpack_v2(z, step: float) -> HitBuffer:
+    """Host inverse of :func:`_pack_artifact`: bitmask → dense planes."""
+    from ..ops.combine import NO_HIT
+
+    shape = tuple(int(s) for s in z["shape"])
+    p = int(np.prod(shape))
+    bits = np.asarray(z["bits"], np.uint32)
+    vflat = (
+        (bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+    ).astype(bool).reshape(-1)[:p]
+
+    def expand(seg, fill, dtype, extra=()):
+        out = np.full((p,) + extra, fill, dtype)
+        out[vflat] = seg
+        return out.reshape(shape + extra)
+
+    key = expand(z["key"], NO_HIT, np.float32)
+    return HitBuffer(
+        valid=vflat.reshape(shape),
+        key=key,
+        dlat=expand(z["dlat"], 0, np.float32),
+        dlon=expand(z["dlon"], 0, np.float32),
+        # the device hit paths' exact expression (see module docstring)
+        distance=(
+            np.where(vflat.reshape(shape), key, np.float32(0.0))
+            * np.float32(step)
+        ).astype(np.float32),
+        elevation=expand(z["elevation"], 0, np.float32),
+        path_length=expand(z["path_length"], 0, np.float32),
+        normal=expand(z["normal"], 0, np.float32, (3,)),
+        kind=expand(z["kind"].astype(np.int32), 0, np.int32),
+        rgba=expand(z["rgba"], 0, np.float32, (4,)),
     )
 
 
@@ -78,18 +176,21 @@ def load_metadata(path) -> Tuple[Config, RenderResult]:
         if version > FORMAT_VERSION:
             raise ValueError(f"metadata format v{version} is newer than supported")
         config = Config.from_dict(yaml.safe_load(bytes(z["config_yaml"]).decode()))
-        hits = HitBuffer(
-            valid=z["valid"],
-            key=z["key"],
-            dlat=z["dlat"],
-            dlon=z["dlon"],
-            distance=z["distance"],
-            elevation=z["elevation"],
-            path_length=z["path_length"],
-            normal=z["normal"],
-            kind=z["kind"],
-            rgba=z["rgba"],
-        )
+        if version >= 2:
+            hits = _unpack_v2(z, float(config.simulation_step))
+        else:  # v1: dense [H, W, K] planes stored verbatim
+            hits = HitBuffer(
+                valid=z["valid"],
+                key=z["key"],
+                dlat=z["dlat"],
+                dlon=z["dlon"],
+                distance=z["distance"],
+                elevation=z["elevation"],
+                path_length=z["path_length"],
+                normal=z["normal"],
+                kind=z["kind"],
+                rgba=z["rgba"],
+            )
         result = RenderResult(
             image=None,  # re-rendered by the viewer
             hits=hits,

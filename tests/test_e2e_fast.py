@@ -343,3 +343,100 @@ def test_full_pipeline_matches_independent_f64_oracle():
     pe = np.asarray(res.hits.elevation[..., 0])
     assert np.abs(pd - dist)[robust].max() < 0.05  # meters (measured 7 mm)
     assert np.abs(pe - elev_hit)[robust].max() < 0.01
+
+
+def test_streamed_matches_plain(default_render, terrain_dir, tmp_path):
+    """render_fast_streamed (banded dispatch + overlapped fetch) must render
+    the exact frame of render_fast: banding along azimuth columns touches no
+    numerics — the march is shared, columns are independent (fast.rs:27-44).
+    """
+    from atm_raytracer_tpu.generators.fast import render_fast_streamed
+
+    config, params, plain, terrain = default_render
+    pcts = []
+    streamed = render_fast_streamed(
+        params, terrain, bands=8, progress=pcts.append
+    )
+    np.testing.assert_array_equal(streamed.image, plain.image)
+    for field in ("valid", "key", "distance", "elevation", "path_length",
+                  "normal", "kind", "rgba", "dlat", "dlon"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(streamed.hits, field)),
+            np.asarray(getattr(plain.hits, field)),
+            err_msg=field,
+        )
+    # monotone per-band percent, closing at 100 (fast.rs:78-87 analog)
+    assert pcts == sorted(pcts) and pcts[-1] == 100 and len(pcts) == 8
+
+
+def test_streamed_band_fallbacks(default_render):
+    """Odd widths pick the largest dividing band count; bands=1 still works."""
+    from atm_raytracer_tpu.generators.fast import _largest_band_divisor
+
+    assert _largest_band_divisor(1920, 8) == 8
+    assert _largest_band_divisor(61, 8) == 1  # prime width: single band
+    assert _largest_band_divisor(60, 8) == 6
+
+
+def test_metadata_v2_fields_exact(tmp_path, default_render):
+    """Format v2 (valid-slot compaction, meta/serialize.py) must reproduce
+    every hit field EXACTLY on valid slots and canonical fillers elsewhere
+    (key=+inf NO_HIT, 0 otherwise) — renders leave garbage-but-masked values
+    in invalid slots, so only the valid entries are contractual."""
+    import io
+
+    from atm_raytracer_tpu.meta.serialize import load_metadata, save_metadata
+    from atm_raytracer_tpu.ops.combine import NO_HIT
+
+    config, params, result, _ = default_render
+    meta_path = tmp_path / "meta_v2.npz"
+    save_metadata(meta_path, config, result)
+    _, r2 = load_metadata(meta_path)
+
+    valid = np.asarray(result.hits.valid)
+    np.testing.assert_array_equal(np.asarray(r2.hits.valid), valid)
+    for field in ("key", "dlat", "dlon", "distance", "elevation",
+                  "path_length", "kind"):
+        orig = np.asarray(getattr(result.hits, field))
+        got = np.asarray(getattr(r2.hits, field))
+        np.testing.assert_array_equal(got[valid], orig[valid], err_msg=field)
+    for field, d in (("normal", 3), ("rgba", 4)):
+        orig = np.asarray(getattr(result.hits, field))
+        got = np.asarray(getattr(r2.hits, field))
+        np.testing.assert_array_equal(got[valid], orig[valid], err_msg=field)
+        assert (got[~valid] == 0).all(), field
+    assert np.isposinf(np.asarray(r2.hits.key)[~valid]).all()
+    assert float(NO_HIT) == np.float32("inf")
+    assert (np.asarray(r2.hits.distance)[~valid] == 0).all()
+
+
+def test_metadata_v1_reader(tmp_path, default_render):
+    """v1 artifacts (dense [H, W, K] planes) must stay readable after the
+    v2 writer switch — users hold files written by earlier builds."""
+    from atm_raytracer_tpu.meta.serialize import load_metadata, save_metadata
+    from atm_raytracer_tpu.meta.viewer import _render_from_metadata
+
+    config, params, result, _ = default_render
+    hits = result.hits
+    v1 = {
+        n: np.asarray(getattr(hits, n))
+        for n in ("valid", "key", "dlat", "dlon", "distance", "elevation",
+                  "path_length", "normal", "kind", "rgba")
+    }
+    import yaml as _yaml
+
+    path = tmp_path / "meta_v1.npz"
+    np.savez_compressed(
+        path,
+        format_version=np.int64(1),
+        config_yaml=np.frombuffer(
+            _yaml.safe_dump(config.to_dict()).encode(), np.uint8
+        ),
+        observer=np.asarray(result.observer, np.float64),
+        elevation_deg=np.asarray(result.elevation_deg, np.float64),
+        azimuth_deg=np.asarray(result.azimuth_deg, np.float64),
+        **v1,
+    )
+    config1, r1 = load_metadata(path)
+    img = _render_from_metadata(config1, r1)
+    np.testing.assert_array_equal(img, result.image)

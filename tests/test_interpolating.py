@@ -196,3 +196,29 @@ def test_key_is_march_position(setup):
     err = np.abs(key[valid] * params.simulation_step - dist[valid])
     assert np.max(err) < 1.0, np.max(err)  # f32 rounding only
     assert np.isinf(key[~valid]).all()
+
+
+def test_group_ranks_loop_parity():
+    """The fori_loop grouping (used when E > _GROUP_UNROLL_MAX_E; object and
+    translucent grids) must be BIT-identical to the unrolled pairwise form
+    (the plain-scene path) — same selects/mins, no reassociation. Random
+    entry soups with step-close clusters, interleaved kinds, and invalid
+    ballast exercise every branch of collect_trace_points semantics."""
+    import jax.numpy as jnp
+    from atm_raytracer_tpu.generators.interpolating import (
+        _group_slot_ranks_loop, _group_slot_ranks_unrolled,
+    )
+
+    rng = np.random.default_rng(7)
+    for e_n, h, w, step in ((4, 5, 6, 50.0), (8, 4, 4, 100.0),
+                            (16, 3, 7, 50.0), (32, 2, 5, 25.0)):
+        valid = rng.random((e_n, h, w)) < 0.6
+        # cluster distances so same-group merges actually occur
+        dist = (rng.integers(0, 4, (e_n, h, w)) * (3.0 * step)
+                + rng.random((e_n, h, w)) * 1.8 * step).astype(np.float32)
+        kind = rng.integers(0, 3, (e_n, h, w)).astype(np.float32)
+        args = (jnp.asarray(valid), jnp.asarray(dist), jnp.asarray(kind),
+                step)
+        ranks_u = np.asarray(_group_slot_ranks_unrolled(*args))
+        ranks_l = np.asarray(_group_slot_ranks_loop(*args))
+        np.testing.assert_array_equal(ranks_l, ranks_u, err_msg=f"E={e_n}")
