@@ -386,18 +386,24 @@ def test_cli_shard_flag_matches_single_chip(setup, tmp_path):
     from PIL import Image
 
     for gen in ("Fast", "Rectilinear", "InterpolatingRectilinear"):
+        # metadata parity is generator-independent plumbing; exercise it on
+        # the Fast pair only to keep the 1-core suite wall bounded
+        meta = ["--output-meta", f"meta_{gen}.npz"] if gen == "Fast" else []
         r1 = subprocess.run(
             [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen",
              "-c", str(cfg), "--generator", gen,
-             "--output", f"single_{gen}.png"],
+             "--output", f"single_{gen}.png"] + meta,
             capture_output=True, text=True, cwd=tmp_path, env=env,
             timeout=600,
         )
         assert r1.returncode == 0, r1.stderr + r1.stdout
+        meta_sh = (
+            ["--output-meta", f"meta_{gen}_sharded.npz"] if meta else []
+        )
         r2 = subprocess.run(
             [sys.executable, "-m", "atm_raytracer_tpu.cli", "gen",
              "-c", str(cfg), "--generator", gen,
-             "--output", f"sharded_{gen}.png", "--shard"],
+             "--output", f"sharded_{gen}.png", "--shard"] + meta_sh,
             capture_output=True, text=True, cwd=tmp_path, env=env,
             timeout=600,
         )
@@ -406,6 +412,17 @@ def test_cli_shard_flag_matches_single_chip(setup, tmp_path):
         single = np.asarray(Image.open(tmp_path / f"single_{gen}.png"))
         sharded = np.asarray(Image.open(tmp_path / f"sharded_{gen}.png"))
         np.testing.assert_array_equal(sharded, single, err_msg=gen)
+        if meta:
+            from atm_raytracer_tpu.meta.serialize import load_metadata
+
+            _, m1 = load_metadata(tmp_path / f"meta_{gen}.npz")
+            _, m2 = load_metadata(tmp_path / f"meta_{gen}_sharded.npz")
+            np.testing.assert_array_equal(m2.hits.valid, m1.hits.valid)
+            np.testing.assert_array_equal(m2.hits.key, m1.hits.key)
+            np.testing.assert_array_equal(m2.hits.rgba, m1.hits.rgba)
+            np.testing.assert_array_equal(
+                m2.elevation_deg, m1.elevation_deg
+            )
 
 
 def test_sharded_objects_match_single_chip(setup):
