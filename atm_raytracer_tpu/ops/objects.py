@@ -793,6 +793,17 @@ def apply_objects_planes(
                                       lo_arr[0]))
         else:
             planes, _ = jax.lax.scan(body, planes, (scal, lo_arr))
+        # Buffer boundary between buckets — same role as _materialize in the
+        # unrolled oracle: without it XLA CPU re-fuses each bucket's whole
+        # intersection+merge chain into every later bucket's window slices
+        # and the final per-slot output stacks, and both fusion-pass compile
+        # time and runtime go exponential in bucket count (the mixed
+        # billboard+frustum scene of tests/test_reference_config.py stalled
+        # >50 min in compile; with boundaries it compiles in seconds). A
+        # lax.scan materializes its carry, but single-member buckets call
+        # the body directly, and even scan results re-fuse forward on CPU.
+        planes = {nm: [_materialize(p) for p in ps]
+                  for nm, ps in planes.items()}
     return planes
 
 

@@ -12,24 +12,28 @@ from fixtures import make_terrain_folder
 REFERENCE_STYLE_CONFIG = """
 scene:
     terrain_folder: {terrain}
+    # Objects sit 130-170 m out inside the 4-degree fov around direction 31:
+    # the fixture terrain is an upslope that occludes everything beyond
+    # ~350 m, so close-in placement is what makes object pixels actually
+    # render (the r4 positions were kilometers out and never hit).
     objects:
         - position:
-            latitude: 49.51
-            longitude: 21.505
+            latitude: 49.50117
+            longitude: 21.50103
             altitude:
-                Absolute: 350.0
+                Absolute: 320.0
           color:
             r: 0.5
             g: 0.0
             b: 0.0
           shape:
             Billboard:
-                width: 164.125
-                height: 65.0
+                width: 4.125
+                height: 60.0
                 texture_path: {texture}
         - position:
-            latitude: 49.512
-            longitude: 21.5
+            latitude: 49.50100
+            longitude: 21.50093
             altitude:
                 Relative: 0.0
           color:
@@ -38,11 +42,11 @@ scene:
             b: 0.5
           shape:
             Cylinder:
-                radius: 3.0
+                radius: 1.5
                 height: 55.0
         - position:
-            latitude: 49.513
-            longitude: 21.51
+            latitude: 49.50129
+            longitude: 21.50126
             altitude:
                 Relative: 0.0
           color:
@@ -52,8 +56,8 @@ scene:
             a: 0.5
           shape:
             Frustum:
-                r1: 10.0
-                r2: 4.0
+                r1: 2.5
+                r2: 1.0
                 height: 55.0
     terrain_alpha: 0.98
 
@@ -186,12 +190,30 @@ def test_reference_style_config_end_to_end(tmp_path):
     assert isinstance(spline, SplineFunction)
     assert spline.boundary_condition[0] == "Derivatives"
 
-    # lower + render end-to-end
+    # lower + render end-to-end. This is the suite's only mixed
+    # billboard+frustum scene over translucent terrain + fog — exactly the
+    # shape whose bucketed object merge stalled XLA CPU compilation >50 min
+    # in round 4 (missing buffer boundary between kind buckets,
+    # ops/objects.py::apply_objects_planes). The wall bound makes a compile
+    # regression fail loudly instead of silently eating the suite budget
+    # (healthy: ~25 s on the 1-core CI host).
+    import time
+
     terrain = Terrain.from_folder(terrain_dir)
     params = config.into_params(terrain)
+    t0 = time.monotonic()
     result = render_fast(params, terrain)
+    elapsed = time.monotonic() - t0
     assert result.image.shape == (80, 120, 3)
-    assert np.asarray(result.hits.valid).any()
+    valid = np.asarray(result.hits.valid)
+    kind = np.asarray(result.hits.kind)
+    assert valid.any()
+    assert (valid & (kind == 1)).any(), "object (billboard/frustum) hits"
+    assert (valid.sum(-1) >= 2).any(), "translucent terrain keeps depth"
+    assert elapsed < 600, (
+        f"mixed-kind render took {elapsed:.0f}s — object-merge compile "
+        "blowup regression (see ops/objects.py bucket boundary note)"
+    )
 
     # round-trip: to_dict re-parses to the same lowering-relevant content
     from atm_raytracer_tpu.config import Config
