@@ -55,6 +55,11 @@ def _add_gen_parser(subparsers):
     p.add_argument("-s", "--straight", action="store_true")
     p.add_argument("--output", dest="output")
     p.add_argument("--output-meta", dest="output_meta")
+    p.add_argument("--meta-format", dest="meta_format",
+                   choices=["native", "reference"], default="native",
+                   help="Metadata artifact format: native npz (default) or "
+                        "the reference binary's gzip(bincode(AllData)) "
+                        "layout (src/generator/mod.rs:26-45)")
     p.add_argument("-w", "--width", dest="width", type=int)
     p.add_argument("-h", "--height", dest="height", type=int)
     p.add_argument("-c", "--config", dest="config")
@@ -160,7 +165,9 @@ def run_gen(args) -> int:
 
     if params.output.file_metadata:
         phase("Outputting metadata...")
-        save_metadata(params.output.file_metadata, config, result)
+        save_metadata(params.output.file_metadata, config, result,
+                      fmt=getattr(args, "meta_format", "native"),
+                      terrain=terrain)
     phase("Done.")
     return 0
 

@@ -613,6 +613,92 @@ def _write_output(w: _Writer, out: dict):
     w.u32(_GENERATORS.index(out.get("generator", "Fast")))
 
 
+def encode_environment(shape_radius, atmosphere_def: dict,
+                       wavelength: float) -> bytes:
+    """Best-effort bincode encoding of ``atm_refraction::Environment``.
+
+    ``Environment{shape, atmosphere, wavelength}`` field order is pinned by
+    the construction literal (src/generator/params.rs:519-523).
+    ``EarthShape::{Flat, Spherical{radius}}`` variant order is as the crate
+    documents it (SURVEY §2a; tag 0 = Flat, 1 = Spherical).
+
+    The ``atmosphere`` segment is the one layout this repo CANNOT pin: the
+    crate's runtime ``Atmosphere`` (post ``from_def``) is out-of-tree and
+    its serde shape — whether it stores the def or derived spline
+    coefficients — is unknowable without the crate source (PARITY.md). We
+    encode the *definition* grammar (the ``AtmosphereDef`` serde tree from
+    README.md:281-323 under bincode rules) as the documented stand-in:
+    deterministic, self-describing, and skipped opaquely by our own
+    decoder's Output-anchor scan, so write→read round-trips are exact
+    regardless. ``shape_radius`` is ``None`` for Flat.
+
+    Layout (bincode 1.x fixed-int little-endian):
+      shape: u32 tag [+ f64 radius]
+      atmosphere (AtmosphereDef):
+        pressure: f64 altitude, f64 pressure
+        first_temperature_function: TempFn
+        next_functions: u64 len + (f64 altitude, TempFn)*
+        temperature_fixed_point: Option<(f64 altitude, f64 temperature)>
+      wavelength: f64
+      TempFn: u32 tag — 0 Linear{gradient f64}
+                        1 Spline{boundary_condition: u32 tag
+                                   (0 Natural | 1 Derivatives(2×f64)
+                                    | 2 SecondDerivatives(2×f64)),
+                                 points: u64 len + (f64, f64)*}
+    """
+    w = _Writer()
+    if shape_radius is None:
+        w.u32(0)
+    else:
+        w.u32(1)
+        w.f64(shape_radius)
+
+    def temp_fn(fn: dict):
+        if "Linear" in fn:
+            w.u32(0)
+            w.f64(fn["Linear"]["gradient"])
+            return
+        sp = fn["Spline"]
+        w.u32(1)
+        bc = sp["boundary_condition"]
+        if bc == "Natural" or bc == ("Natural",):
+            w.u32(0)
+        else:
+            ((name, vals),) = (
+                bc.items() if isinstance(bc, dict) else ((bc[0], bc[1:]),)
+            )
+            w.u32(("Natural", "Derivatives", "SecondDerivatives").index(name))
+            seq = vals[0] if len(vals) == 1 and isinstance(
+                vals[0], (list, tuple)
+            ) else vals
+            for v in seq:
+                w.f64(v)
+        pts = sp["points"]
+        w.u64(len(pts))
+        for a, t in pts:
+            w.f64(a)
+            w.f64(t)
+
+    p = atmosphere_def["pressure"]
+    w.f64(p["altitude"])
+    w.f64(p["pressure"])
+    temp_fn(atmosphere_def["first_temperature_function"])
+    nxt = atmosphere_def.get("next_functions", ())
+    w.u64(len(nxt))
+    for entry in nxt:
+        w.f64(entry["altitude"])
+        temp_fn(entry["function"])
+    tfp = atmosphere_def.get("temperature_fixed_point")
+    if tfp is None:
+        w.u8(0)
+    else:
+        w.u8(1)
+        w.f64(tfp["altitude"])
+        w.f64(tfp["temperature"])
+    w.f64(wavelength)
+    return bytes(w.b)
+
+
 def encode_alldata(params: dict, elev, az, hits, *, vec3_prefixed=False,
                    compress=True) -> bytes:
     """Inverse of :func:`decode_alldata` (layout self-test + write interop)."""
@@ -726,4 +812,6 @@ def encode_alldata(params: dict, elev, az, hits, *, vec3_prefixed=False,
                             for cch in range(4):
                                 w.f64(rgba_a[i, j, s, cch])
     raw = bytes(w.b)
-    return gzip.compress(raw) if compress else raw
+    # mtime=0: a deterministic gzip header makes write→write bit-stable
+    # (the libflate encoder the reference uses also emits no timestamp)
+    return gzip.compress(raw, mtime=0) if compress else raw

@@ -74,12 +74,122 @@ def _pack_artifact(valid, key, dlat, dlon, elevation, path_length, normal,
             compact(kind), compact(rgba))
 
 
-def save_metadata(path, config: Config, result: RenderResult) -> None:
+def save_metadata(path, config: Config, result: RenderResult,
+                  fmt: str = "native", terrain=None) -> None:
+    """Write the metadata artifact.
+
+    ``fmt="native"`` (default): the npz format above. ``fmt="reference"``:
+    gzip(bincode(AllData)) in the reference binary's layout
+    (src/generator/mod.rs:26-45) via :mod:`.bincode` — the write-side
+    inverse of the ``.dat`` reader, so artifacts round-trip through
+    :func:`load_metadata` and follow the layout the Rust viewer decodes
+    (the atmosphere segment is best-effort; see
+    :func:`.bincode.encode_environment`). ``terrain`` is needed only for
+    ``reference`` scenes with Relative-altitude objects (the reference
+    serializes lowered absolute elevations, object/mod.rs:165-184).
+    """
+    if fmt == "reference":
+        blob = _encode_reference(config, result, terrain)
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        return
+    if fmt != "native":
+        raise ValueError(f"unknown metadata format {fmt!r}")
     hits = result.hits
     # write to the EXACT filename the user gave (np.savez appends .npz to
     # string paths; the reference honors --output-meta verbatim)
     with open(path, "wb") as fh:
         _savez(fh, config, result, hits)
+
+
+def reference_params_dict(config: Config, terrain=None) -> dict:
+    """Lower a Config to the dict tree :func:`.bincode.encode_alldata`
+    serializes — the shape of the reference's post-lowering ``Params``
+    (params.rs:496-528): objects carry resolved absolute elevations,
+    coloring carries the lowered world-frame light vector."""
+    from .bincode import encode_environment
+
+    objects = []
+    for o in config.scene.objects:
+        objects.append({
+            "position": {
+                "lat": o.position.latitude,
+                "lon": o.position.longitude,
+                "elev": o.position.abs_altitude(terrain)
+                if o.position.altitude.kind == "Relative"
+                else o.position.altitude.value,
+            },
+            "shape": (
+                {"Frustum": {"r1": o.shape.r1, "r2": o.shape.r2,
+                             "height": o.shape.height}}
+                if o.shape.kind == "Frustum"
+                else {"Billboard": {"width": o.shape.width,
+                                    "height": o.shape.height,
+                                    "texture_path": o.shape.texture_path}}
+            ),
+            "color": {"r": o.color.r, "g": o.color.g, "b": o.color.b,
+                      "a": o.color.a},
+        })
+    frame, position = config.view.frame, config.view.position
+    lowered = config.view.coloring.into_coloring(
+        frame, position, config.earth_shape
+    )
+    if lowered.kind == "Simple":
+        coloring = {"Simple": {"water_level": lowered.water_level,
+                               "max_distance": lowered.max_distance}}
+    else:
+        coloring = {"Shading": {
+            "water_level": lowered.water_level,
+            "ambient_light": lowered.ambient_light,
+            "light_dir_world": list(lowered.light_dir),
+            "palette": lowered.palette,
+        }}
+    from ..config import atmosphere_def_to_dict
+
+    shape = config.earth_shape.to_shape()
+    return {
+        "scene": {
+            "terrain_folder": config.scene.terrain_folder,
+            "objects": objects,
+            "terrain_alpha": config.scene.terrain_alpha,
+        },
+        "view": {
+            "position": {
+                "latitude": position.latitude,
+                "longitude": position.longitude,
+                "altitude": {position.altitude.kind:
+                             position.altitude.value},
+            },
+            "frame": {
+                "direction": frame.direction, "tilt": frame.tilt,
+                "fov": frame.fov, "max_distance": frame.max_distance,
+            },
+            "coloring": coloring,
+            "fog_distance": config.view.fog_distance,
+        },
+        "model": config.earth_shape.to_config(),
+        "env_raw": encode_environment(
+            shape.radius, atmosphere_def_to_dict(config.atmosphere),
+            config.wavelength,
+        ),
+        "straight_rays": config.straight_rays,
+        "simulation_step": config.simulation_step,
+        "output": config.output.to_config(),
+    }
+
+
+def _encode_reference(config: Config, result: RenderResult, terrain) -> bytes:
+    from .bincode import encode_alldata
+
+    params = reference_params_dict(config, terrain)
+    elev = np.asarray(result.elevation_deg, np.float64)
+    az = np.asarray(result.azimuth_deg, np.float64)
+    h, w, _ = result.hits.valid.shape
+    if elev.ndim == 1:  # Fast generator: separable angle grids
+        elev = np.broadcast_to(elev[:, None], (h, w))
+    if az.ndim == 1:
+        az = np.broadcast_to(az[None, :], (h, w))
+    return encode_alldata(params, elev, az, result.hits)
 
 
 def _savez(fh, config, result, hits):

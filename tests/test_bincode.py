@@ -292,3 +292,143 @@ def test_observer_ae_encode_accepts_both_spellings(tmp_path):
         config, _ = load_metadata(path)
         assert config.earth_shape.kind == "ObserverAe"
         assert config.earth_shape.radius == 1_250_000.0
+
+
+def test_gen_side_reference_artifact_roundtrip(tmp_path):
+    """The gen-side write path (`--output-meta x.dat --meta-format
+    reference`, meta/serialize.py::save_metadata fmt="reference") emits
+    gzip(bincode(AllData)) that (a) is byte-stable across writes, (b) our
+    own reader reopens with the render's hits exactly, and (c) carries the
+    documented best-effort Environment bytes (encode_environment).
+    Reference layout: src/generator/mod.rs:26-45."""
+    from fixtures import make_terrain_folder
+
+    from atm_raytracer_tpu.config import Config, atmosphere_def_to_dict
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.meta.serialize import (
+        load_metadata, reference_params_dict, save_metadata,
+    )
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    terrain_dir = make_terrain_folder(tmp_path, tiles=((49, 21),), n=121)
+    cfg = Config.from_dict({
+        "scene": {"terrain_folder": str(terrain_dir), "terrain_alpha": 0.9},
+        "view": {
+            "position": {"latitude": 49.5, "longitude": 21.5,
+                         "altitude": {"Relative": 20.0}},
+            "frame": {"direction": 30.0, "fov": 10.0,
+                      "max_distance": 4000.0},
+            "fog_distance": 8000.0,
+        },
+        "simulation_step": 50.0,
+        "output": {"width": 40, "height": 30,
+                   "file": str(tmp_path / "o.png")},
+    })
+    terrain = Terrain.from_folder(terrain_dir)
+    result = render_fast(cfg.into_params(terrain), terrain)
+
+    p1, p2 = tmp_path / "out.dat", tmp_path / "out2.dat"
+    save_metadata(p1, cfg, result, fmt="reference", terrain=terrain)
+    save_metadata(p2, cfg, result, fmt="reference", terrain=terrain)
+    assert p1.read_bytes() == p2.read_bytes()  # bit-stable
+    assert p1.read_bytes()[:2] == B.GZIP_MAGIC
+
+    cfg2, result2 = load_metadata(p1)
+    assert cfg2.earth_shape.kind == "Spherical"
+    assert cfg2.view.fog_distance == 8000.0
+    assert cfg2.simulation_step == 50.0
+    assert cfg2.scene.terrain_alpha == 0.9
+
+    # angle grids: the Fast generator's separable [H]/[W] vectors round-trip
+    # as the broadcast [H, W] grids the reference stores per pixel
+    elev2 = np.asarray(result2.elevation_deg)
+    az2 = np.asarray(result2.azimuth_deg)
+    np.testing.assert_array_equal(
+        elev2, np.broadcast_to(
+            np.asarray(result.elevation_deg, np.float64)[:, None],
+            elev2.shape,
+        ),
+    )
+    np.testing.assert_array_equal(
+        az2, np.broadcast_to(
+            np.asarray(result.azimuth_deg, np.float64)[None, :], az2.shape,
+        ),
+    )
+
+    # hits round-trip exactly: compare valid-slot-compacted fields (the
+    # reader re-compacts slots to the front; values must be bit-equal)
+    v1 = np.asarray(result.hits.valid)
+    v2 = np.asarray(result2.hits.valid)
+    assert v1.sum() == v2.sum() > 0
+    for field in ("dlat", "dlon", "distance", "elevation", "path_length"):
+        a = np.asarray(getattr(result.hits, field), np.float32)[v1]
+        b = np.asarray(getattr(result2.hits, field), np.float32)[v2]
+        np.testing.assert_array_equal(a, b, err_msg=field)
+    np.testing.assert_array_equal(
+        np.asarray(result.hits.normal, np.float32)[v1],
+        np.asarray(result2.hits.normal, np.float32)[v2],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(result.hits.rgba, np.float32)[v1],
+        np.asarray(result2.hits.rgba, np.float32)[v2],
+    )
+
+    # the Environment segment is the documented encoding of this config's
+    # shape + AtmosphereDef + wavelength (best-effort layout; PARITY.md)
+    raw_params, _, _, _ = B.decode_alldata(p1.read_bytes())
+    assert raw_params["env_raw"] == B.encode_environment(
+        cfg.earth_shape.to_shape().radius,
+        atmosphere_def_to_dict(cfg.atmosphere), cfg.wavelength,
+    )
+    assert len(raw_params["env_raw"]) > 0
+
+
+def test_encode_environment_layout():
+    """Pin the documented Environment byte layout (encode_environment
+    docstring): flat vs spherical tags, Linear/Spline temp functions,
+    boundary conditions, optional fixed point."""
+    import struct
+
+    # Flat shape, minimal atmosphere, no fixed point
+    blob = B.encode_environment(None, {
+        "pressure": {"altitude": 0.0, "pressure": 101325.0},
+        "first_temperature_function": {"Linear": {"gradient": -0.0065}},
+        "next_functions": [],
+        "temperature_fixed_point": None,
+    }, 530e-9)
+    want = (struct.pack("<I", 0)                      # Flat
+            + struct.pack("<dd", 0.0, 101325.0)       # pressure fixed point
+            + struct.pack("<I", 0)                    # Linear
+            + struct.pack("<d", -0.0065)
+            + struct.pack("<Q", 0)                    # next_functions len
+            + b"\x00"                                 # Option None
+            + struct.pack("<d", 530e-9))
+    assert blob == want
+
+    # Spherical + spline w/ Derivatives BC + fixed point
+    blob = B.encode_environment(6_371_000.0, {
+        "pressure": {"altitude": 100.0, "pressure": 90000.0},
+        "first_temperature_function": {"Spline": {
+            "boundary_condition": {"Derivatives": [[-0.0065, 0.0]]},
+            "points": [[100.0, 288.0], [200.0, 287.0]],
+        }},
+        "next_functions": [
+            {"altitude": 200.0,
+             "function": {"Linear": {"gradient": -0.0065}}},
+        ],
+        "temperature_fixed_point": {"altitude": 0.0, "temperature": 288.15},
+    }, 650e-9)
+    want = (struct.pack("<I", 1) + struct.pack("<d", 6_371_000.0)
+            + struct.pack("<dd", 100.0, 90000.0)
+            + struct.pack("<I", 1)                    # Spline
+            + struct.pack("<I", 1)                    # Derivatives
+            + struct.pack("<dd", -0.0065, 0.0)
+            + struct.pack("<Q", 2)
+            + struct.pack("<dd", 100.0, 288.0)
+            + struct.pack("<dd", 200.0, 287.0)
+            + struct.pack("<Q", 1)
+            + struct.pack("<d", 200.0)
+            + struct.pack("<I", 0) + struct.pack("<d", -0.0065)
+            + b"\x01" + struct.pack("<dd", 0.0, 288.15)
+            + struct.pack("<d", 650e-9))
+    assert blob == want
