@@ -149,6 +149,7 @@ def separable_hits(
     obj_windows=None,  # static per-object (col_lo, n) tuples; None = full W
     with_progress: bool = False,
     march=None,  # optional precomputed (ray_h [H,N], path_len [H,N])
+    obj_hit_cap: Optional[int] = None,  # see _separable_hit_planes
 ) -> HitBuffer:
     """Hits on the separable (elevation-row × azimuth-column) product grid.
 
@@ -170,7 +171,7 @@ def separable_hits(
             model=model, shape=shape, straight=straight, step=step,
             n_terr=n_terr, max_hits=max_hits, lat0=lat0, lon0=lon0,
             terrain_alpha=terrain_alpha, obj_windows=obj_windows,
-            with_progress=with_progress,
+            with_progress=with_progress, obj_hit_cap=obj_hit_cap,
         )
     # 1. path cache: [H, n_terr] ray altitudes at x = k*step (march n_terr-1
     # steps; sample 0 is the observer) — gen_path_cache utils.rs:136-174.
@@ -280,6 +281,7 @@ def _separable_hit_planes(
     terrain_alpha: float,
     obj_windows,
     with_progress: bool = False,
+    obj_hit_cap: Optional[int] = None,
 ) -> HitBuffer:
     """Plane-first separable hits for scene-object frames.
 
@@ -392,8 +394,27 @@ def _separable_hit_planes(
     # plane-count compile/memory cost (14 channels × k_out planes).
     from ..ops.objects import max_window_overlap
 
-    cap = int(os.environ.get("ATM_RAYTRACER_OBJ_HIT_CAP", "6"))
+    # resolved by render_fast and threaded through the jit as a STATIC arg
+    # (an env read at trace time would be invisible to the jit cache key —
+    # a raised cap after a same-shape render would silently reuse the old
+    # compiled program); the env fallback covers direct callers
+    cap = (obj_hit_cap if obj_hit_cap is not None
+           else int(os.environ.get("ATM_RAYTRACER_OBJ_HIT_CAP", "6")))
     overlap = max_window_overlap(obj_windows, objects.n_objects)
+    if 2 * overlap > max(cap, 2):
+        # loud, host-side, once per cap value: the reference keeps ALL
+        # trace points (utils.rs:241-279); our fixed-slot buffer drops the
+        # deepest hits where >cap/2 object windows stack on one column
+        import warnings
+
+        warnings.warn(
+            f"object metadata depth truncated: {overlap} object windows "
+            f"overlap one column (needs {2 * overlap} slots) but "
+            f"ATM_RAYTRACER_OBJ_HIT_CAP={cap}; hits beyond the cap are "
+            "dropped from metadata (compositing is visually saturated by "
+            "then). Raise ATM_RAYTRACER_OBJ_HIT_CAP to keep full depth.",
+            stacklevel=2,
+        )
     k_out = max_hits + min(2 * overlap, max(cap, 2))
     planes = apply_objects_planes(
         planes, objects, model, lat0, lon0, step,
@@ -425,6 +446,7 @@ def fast_core(
     obj_windows=None,
     with_progress: bool = False,
     march=None,
+    obj_hit_cap=None,
 ):
     """The whole Fast pipeline as one traceable function (vmappable for
     batched sweeps, shardable for multi-chip)."""
@@ -433,6 +455,7 @@ def fast_core(
         model=model, shape=shape, straight=straight, step=step, n_terr=n_terr,
         max_hits=max_hits, lat0=lat0, lon0=lon0, terrain_alpha=terrain_alpha,
         obj_windows=obj_windows, with_progress=with_progress, march=march,
+        obj_hit_cap=obj_hit_cap,
     )
     image = composite(
         coloring,
@@ -455,7 +478,7 @@ _render_fast_device = functools.partial(
     static_argnames=(
         "model", "shape", "straight", "step", "n_terr", "max_hits", "lat0",
         "lon0", "coloring", "fog_distance", "terrain_alpha", "obj_windows",
-        "with_progress",
+        "with_progress", "obj_hit_cap",
     ),
 )(fast_core)
 
@@ -516,6 +539,7 @@ def render_fast(params: Params, terrain: Terrain,
             terrain_alpha=float(params.terrain_alpha),
             obj_windows=obj_windows,
             with_progress=with_progress,
+            obj_hit_cap=int(os.environ.get("ATM_RAYTRACER_OBJ_HIT_CAP", "6")),
         )
         # fetch FLAT: a [H, W, 3] u8 fetch pays a device-side de-tiling pass
         # (the minor dim of 3 tiles badly); flat streams at link speed

@@ -568,6 +568,224 @@ def fetch_viewer_fields_separable(result, model, step: float, co_fetch=()):
     return (vf, fetched[3:]) if co_fetch else vf
 
 
+_KEY_QUANT = 256.0  # 1/256 march-step key fixed point (delta pack):
+# distance quantum = step/256 (0.195 m at 50 m steps) and derived lat/lon
+# error ≤ ~0.2 m — both under the viewer's display steps (0.001 km
+# distance, 0.01" ≈ 0.31 m DMS). The delta pack trades the separable
+# pack's bit-exact f32 keys for ~2x fewer key bytes inside those bands.
+
+
+def _delta_encode(x_i32, count, limit: int, clip_dtype):
+    """Compact-stream delta coding with an exception side-channel.
+
+    ``x_i32`` [P] i32: compacted values (garbage past ``count``).
+    Returns (d_small clip_dtype [P], exc_idx u32 [P], exc_val i32 [P],
+    n_exc i32): d[i] = x[i] - x[i-1] (d[0] = x[0]); entries with
+    |d| > limit are zeroed in d_small and appended (stream index, true
+    delta) to the exception arrays, compacted to the front. Host decode is
+    one fused pass: d = d_small.astype(i64); d[exc_idx] = exc_val;
+    x = cumsum(d) — exact for any input, with the byte cost of the narrow
+    dtype plus 8 B per exception.
+    """
+    p = x_i32.shape[0]
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), x_i32[:-1]])
+    d = x_i32 - prev
+    inside = jax.lax.broadcasted_iota(jnp.int32, (p,), 0) < count
+    big = (jnp.abs(d) > limit) & inside
+    d_small = jnp.where(big, 0, jnp.where(inside, d, 0)).astype(clip_dtype)
+    epos = jnp.cumsum(big.astype(jnp.int32)) - 1
+    eidx = jnp.where(big, epos, p)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+    exc_idx = jnp.zeros((p,), jnp.uint32).at[eidx].set(
+        iota.astype(jnp.uint32), mode="drop"
+    )
+    exc_val = jnp.zeros((p,), jnp.int32).at[eidx].set(d, mode="drop")
+    return d_small, exc_idx, exc_val, jnp.sum(big.astype(jnp.int32))
+
+
+def _compact_scatter(vflat, values, dtype):
+    """Scatter-compact ``values`` (flat [P]) to the front where vflat."""
+    p = vflat.shape[0]
+    pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    idx = jnp.where(vflat, pos, p)
+    return jnp.zeros((p,), dtype).at[idx].set(
+        values.astype(dtype), mode="drop"
+    )
+
+
+@jax.jit
+def pack_viewer_fields_delta(key, elevation, image):
+    """Delta pack v3: the separable pack's payload, delta-coded, plus the
+    frame itself compacted to hit pixels.
+
+    Per valid slot: key as i16 stream-delta of the 1/256 fixed point
+    (``_KEY_QUANT``; 2 B vs 4 B f32) + elevation u16 (identical coding to
+    :func:`pack_viewer_fields_separable` — decodes bit-equal). Per HIT
+    pixel: the u8 RGB frame compacted to hit pixels and per-channel
+    i8 stream-delta coded (~1-3 B/px vs 3 B/px raw for smooth shading) —
+    valid-free pixels are the frame's constant sky/fog base color
+    (renderer/mod.rs:395-411), so the reconstruction is bit-exact from the
+    validity bitmask + one host-supplied RGB constant. Callers must pass
+    Fast-generator no-object frames with a constant no-hit color (no
+    partial-translucency remainders): K-slot pixels reconstruct as hit iff
+    ANY slot is valid.
+
+    Returns (bits, key_d i16, key_exc_idx u32, key_exc_val i32, el_c u16,
+    el_ranges f32 [2], img_d i8 [3, Ppx], img_exc [3, 2, Ppx] (idx, val),
+    counts i32 [6] = (n_valid, n_px, n_key_exc, n_r_exc, n_g_exc,
+    n_b_exc)).
+    """
+    valid = jnp.isfinite(key)
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(valid, elevation, big))
+    hi = jnp.max(jnp.where(valid, elevation, -big))
+    ok = jnp.any(valid)
+    el_lo = jnp.where(ok, lo, 0.0)
+    el_hi = jnp.where(ok, hi, 0.0)
+    el = _range_code(
+        jnp.where(valid, elevation, el_lo), el_lo, el_hi, 65536.0
+    ).astype(jnp.uint16)
+
+    vflat = valid.reshape(-1)
+    p = vflat.shape[0]
+    count = jnp.sum(vflat.astype(jnp.int32))
+    q = jnp.where(
+        valid, jnp.round(key * jnp.float32(_KEY_QUANT)), 0.0
+    ).astype(jnp.int32)
+    q_c = _compact_scatter(vflat, q.reshape(-1), jnp.int32)
+    el_c = _compact_scatter(vflat, el.reshape(-1), jnp.uint16)
+    key_d, kexc_i, kexc_v, n_kexc = _delta_encode(
+        q_c, count, 32767, jnp.int16
+    )
+
+    pad = (-p) % 32
+    vpad = jnp.concatenate(
+        [vflat, jnp.zeros((pad,), bool)]
+    ).reshape(-1, 32).astype(jnp.uint32)
+    bits = jnp.sum(
+        vpad << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+        dtype=jnp.uint32,
+    )
+
+    pv = valid.reshape(valid.shape[0] * valid.shape[1], -1).any(-1)
+    n_px = jnp.sum(pv.astype(jnp.int32))
+    img_flat = image.reshape(-1, 3).astype(jnp.int32)
+    img_ds, img_excs, img_counts = [], [], []
+    for c in range(3):
+        x_c = _compact_scatter(pv, img_flat[:, c], jnp.int32)
+        d_c, ei, ev, ne = _delta_encode(x_c, n_px, 127, jnp.int8)
+        img_ds.append(d_c)
+        img_excs.append(jnp.stack([ei.astype(jnp.int32), ev]))
+        img_counts.append(ne)
+    counts = jnp.stack(
+        [count, n_px, n_kexc] + img_counts
+    ).astype(jnp.int32)
+    return (bits, key_d, kexc_i, kexc_v, el_c,
+            jnp.stack([el_lo, el_hi]), jnp.stack(img_ds),
+            jnp.stack(img_excs), counts)
+
+
+def _delta_decode(d_small, exc_idx, exc_val):
+    d = d_small.astype(np.int64)
+    if exc_idx.size:
+        d[exc_idx.astype(np.int64)] = exc_val
+    return np.cumsum(d)
+
+
+def frame_base_rgb(coloring, fog_distance) -> np.ndarray:
+    """The composited frame's constant no-hit color as u8 (the value
+    ``ops.composite.composite`` writes where no slot is valid): the
+    coloring's sky, or the fog base when fog is configured
+    (renderer/mod.rs:395-411). This is the ``sky_rgb`` argument of
+    :func:`fetch_viewer_fields_delta`."""
+    from ..ops.coloring import fog_color, sky_color
+
+    base = fog_color() if fog_distance is not None else sky_color(coloring)
+    return np.trunc(np.asarray(base) * 255.0).astype(np.uint8)
+
+
+def fetch_viewer_fields_delta(result, model, step: float, sky_rgb,
+                              co_fetch=()):
+    """Device→host staging via the delta pack (v3) — metadata AND frame.
+
+    Same contract as :func:`fetch_viewer_fields_separable` (Fast
+    generator, no scene objects) plus: the no-hit region of the frame must
+    be the single constant color ``sky_rgb`` (u8 triple — the coloring's
+    sky, or the fog base when fog fills the sky; callers with
+    partial-translucency remainders must use the separable pack).
+
+    Returns ``(vf, image, stats)``: a :class:`ViewerFieldsSeparable` whose
+    keys carry the 1/256-step fixed point (distance/lat-lon inside the
+    display-precision bands documented at ``_KEY_QUANT``), the
+    reconstructed [H, W, 3] u8 frame, and a stats dict with the actual
+    staged byte count (``vf.nbytes`` reports the decoded container, not
+    the link payload). ``co_fetch`` arrays ride the same overlap pool.
+    """
+    import jax as _jax
+
+    from ..generators.base import fetch_pool, submit_fetch
+
+    hits = result.hits
+    az = np.asarray(result.azimuth_deg)
+    if az.ndim != 1 or az.size != hits.key.shape[1]:
+        raise ValueError(
+            "fetch_viewer_fields_delta needs a separable [W] azimuth grid "
+            "(Fast generator)"
+        )
+    h, w = hits.key.shape[0], hits.key.shape[1]
+    co_fetch = tuple(co_fetch)
+    ex = fetch_pool()
+    try:
+        co_outs, co_futs = submit_fetch(ex, co_fetch)
+        (bits, key_d, kexc_i, kexc_v, el_c, el_ranges, img_d, img_exc,
+         counts) = pack_viewer_fields_delta(
+            jnp.asarray(hits.key), jnp.asarray(hits.elevation),
+            jnp.asarray(result.image),
+        )
+        n, n_px, n_kexc, n_r, n_g, n_b = (
+            int(v) for v in _jax.device_get(counts)
+        )
+        segs = [bits, key_d[:n], kexc_i[:n_kexc], kexc_v[:n_kexc],
+                el_c[:n]]
+        for c, ne in enumerate((n_r, n_g, n_b)):
+            segs += [img_d[c, :n_px], img_exc[c, 0, :ne],
+                     img_exc[c, 1, :ne]]
+        meta_outs, meta_futs = submit_fetch(ex, segs)
+        for f in meta_futs + co_futs:
+            f.result()
+    finally:
+        ex.shutdown(wait=True)
+    (bits_h, key_d_h, kexc_i_h, kexc_v_h, el_h,
+     dr_h, eir_h, evr_h, dg_h, eig_h, evg_h, db_h, eib_h, evb_h) = meta_outs
+    staged = sum(int(s.nbytes) for s in meta_outs)
+
+    q = _delta_decode(key_d_h, kexc_i_h, kexc_v_h)
+    key_c = (q.astype(np.float64) / _KEY_QUANT).astype(np.float32)
+    lat0, lon0 = float(result.observer[0]), float(result.observer[1])
+    vf = ViewerFieldsSeparable(
+        bits_h, key_c, el_h, np.asarray(el_ranges),
+        tuple(hits.key.shape), step, model, lat0, lon0, az,
+    )
+
+    image = np.empty((h * w, 3), np.uint8)
+    image[:] = np.asarray(sky_rgb, np.uint8)
+    pv = vf.valid.reshape(h * w, -1).any(-1)
+    for c, (d, ei, ev) in enumerate(
+        ((dr_h, eir_h, evr_h), (dg_h, eig_h, evg_h), (db_h, eib_h, evb_h))
+    ):
+        image[pv, c] = _delta_decode(d, ei, ev).astype(np.uint8)
+    image = image.reshape(h, w, 3)
+    stats = {
+        "staged_bytes": staged,
+        "n_valid": int(n),
+        "n_hit_px": int(n_px),
+        "n_exceptions": int(n_kexc + n_r + n_g + n_b),
+    }
+    return (vf, image, stats) if not co_fetch else (
+        vf, image, stats, list(co_outs)
+    )
+
+
 def fetch_viewer_fields(hits, step: float) -> ViewerFields:
     """Device→host staging of the viewer metadata via the fused pack.
 

@@ -277,3 +277,105 @@ def test_popcount_fallback_matches_bitwise_count():
     # the module-level _popcount (whichever branch was taken at import)
     # agrees with the fallback too
     assert np.array_equal(np.asarray(pack._popcount(words)), fallback(words))
+
+
+def test_delta_pack_matches_separable(tmp_path_factory):
+    """Delta pack (v3): keys within the documented 1/256-step fixed point,
+    elevation bit-equal to the separable pack's u16 coding, derived lat/lon
+    inside the viewer's DMS display band, the frame reconstruction
+    bit-exact, and the staged payload strictly smaller than separable
+    metadata + raw frame."""
+    from atm_raytracer_tpu.meta.pack import (
+        _KEY_QUANT,
+        fetch_viewer_fields_delta,
+        fetch_viewer_fields_separable,
+        frame_base_rgb,
+    )
+
+    params, r = _small_fast_render(tmp_path_factory)
+    step = float(params.simulation_step)
+    v2 = fetch_viewer_fields_separable(r, params.model, step)
+    v3, img, stats = fetch_viewer_fields_delta(
+        r, params.model, step,
+        frame_base_rgb(params.coloring, None),
+    )
+    np.testing.assert_array_equal(v3.valid, v2.valid)
+    valid = v2.valid
+    assert valid.any() and (~valid).any()
+
+    # key: quantized to 1/256 march steps (meta/pack.py::_KEY_QUANT)
+    assert (
+        np.abs(v3.key[valid] - v2.key[valid]).max()
+        <= 0.5 / _KEY_QUANT + 1e-5
+    )
+    # → distance inside the 0.001 km display step, lat/lon inside the
+    # 0.01" DMS step (≈ 2.8e-6 °)
+    assert (
+        np.abs(v3.distance[valid] - v2.distance[valid]).max()
+        <= step / (2.0 * _KEY_QUANT) + 1e-3
+    )
+    assert np.abs(v3.dlat[valid] - v2.dlat[valid]).max() < 2.8e-6
+    assert np.abs(v3.dlon[valid] - v2.dlon[valid]).max() < 2.8e-6
+    # elevation: identical u16 coding → decodes bit-equal
+    np.testing.assert_array_equal(v3.elevation, v2.elevation)
+
+    # the frame reconstructs bit-exactly from hit-pixel streams + the
+    # constant sky color
+    np.testing.assert_array_equal(img, np.asarray(r.image))
+
+    # payload accounting: strictly smaller than separable meta + raw frame
+    raw = v2.nbytes + int(np.asarray(r.image).nbytes)
+    assert 0 < stats["staged_bytes"] < raw
+    assert stats["n_valid"] == int(valid.sum())
+    assert stats["n_hit_px"] == int(valid.any(-1).sum())
+
+    # pixel decode path still works on the delta-built container
+    ys, xs = np.nonzero(valid[..., 0])
+    y, x = int(ys[len(ys) // 2]), int(xs[len(xs) // 2])
+    px = v3.pixel(y, x)
+    np.testing.assert_array_equal(px["key"], v3.key[y, x])
+    np.testing.assert_array_equal(px["elevation"], v3.elevation[y, x])
+
+
+def test_delta_pack_empty_frame():
+    """All-sky frame through the delta pack: zero valid slots, the
+    reconstruction is pure sky, and no exceptions fire."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.meta.pack import pack_viewer_fields_delta
+
+    h, w, k = 6, 9, 1
+    key = jnp.full((h, w, k), jnp.inf, jnp.float32)
+    el = jnp.zeros((h, w, k), jnp.float32)
+    img = jnp.full((h, w, 3), 28, jnp.uint8)
+    (bits, key_d, kexc_i, kexc_v, el_c, el_ranges, img_d, img_exc,
+     counts) = pack_viewer_fields_delta(key, el, img)
+    n, n_px, *exc = (int(v) for v in np.asarray(counts))
+    assert n == 0 and n_px == 0 and all(e == 0 for e in exc)
+    assert not np.asarray(bits).any()
+
+
+def test_delta_encode_exceptions_roundtrip():
+    """_delta_encode + host decode: exact for adversarial streams (big
+    jumps, sign flips, first-element overflow)."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.meta.pack import _delta_decode, _delta_encode
+
+    rng = np.random.RandomState(11)
+    x = np.cumsum(rng.randint(-40, 40, size=4096)).astype(np.int64)
+    x[0] += 1_000_000  # first delta overflows i16
+    x[100:] += 900_000  # mid-stream jump
+    x[2000:] -= 2_000_000  # negative jump
+    xj = jnp.asarray(x, jnp.int32)
+    import jax
+
+    d, ei, ev, ne = jax.jit(
+        lambda v: _delta_encode(v, jnp.int32(v.shape[0]), 32767, jnp.int16)
+    )(xj)
+    ne = int(ne)
+    assert ne >= 3
+    got = _delta_decode(
+        np.asarray(d), np.asarray(ei[:ne]), np.asarray(ev[:ne])
+    )
+    np.testing.assert_array_equal(got, x)

@@ -453,3 +453,54 @@ def test_bucketed_scan_merge_matches_unrolled(tmp_path, terrain_dir):
                 np.asarray(got[nm][s]), np.asarray(want[nm][s]),
                 rtol=1e-5, atol=1e-3, err_msg=f"{nm}[{s}]",
             )
+
+
+def test_obj_hit_cap_truncation_boundary(tmp_path, terrain_dir, monkeypatch):
+    """Metadata depth at the slot cap: 4 translucent cylinders stacked on
+    one azimuth need 8 object slots; the default
+    ATM_RAYTRACER_OBJ_HIT_CAP=6 must truncate LOUDLY (warning), and
+    raising the cap must keep the deeper hits. Reference semantics keep
+    all trace points (utils.rs:241-279) — ours is a documented
+    bounded-deviation with this knob."""
+    import warnings
+
+    from atm_raytracer_tpu.generators import render_fast
+
+    objs = []
+    for i in range(4):
+        dist = 400.0 + 200.0 * i
+        objs.append({
+            "position": {
+                "latitude": LAT0 + dist / M_PER_DEG,
+                "longitude": LON0,
+                "altitude": {"Relative": 0.0},
+            },
+            "color": {"r": 0.8, "g": 0.2, "b": 0.2, "a": 0.5},
+            # terrain falls along az 0 here, so horizontal rays thread all
+            # four cylinders (height 120 spans the eye line at each dist)
+            "shape": {"Cylinder": {"radius": 30.0, "height": 120.0}},
+        })
+    _, terrain, params = _make_params(tmp_path, terrain_dir, objs)
+
+    monkeypatch.setenv("ATM_RAYTRACER_OBJ_HIT_CAP", "6")
+    with pytest.warns(UserWarning, match="truncated"):
+        capped = render_fast(params, terrain)
+
+    monkeypatch.setenv("ATM_RAYTRACER_OBJ_HIT_CAP", "8")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # raised cap must NOT warn
+        full = render_fast(params, terrain)
+
+    vc = np.asarray(capped.hits.valid)
+    vf = np.asarray(full.hits.valid)
+    kc = vc.shape[-1]
+    assert vf.shape[-1] > kc  # the raised cap widened the buffer
+    # truncation was real: some pixel lost depth at the capped width...
+    assert vc.sum(-1).max() == kc
+    assert vf.sum(-1).max() > kc
+    # ...and the raised cap only ADDS hits (front of the buffer unchanged)
+    assert (vf.sum(-1) >= vc.sum(-1)).all()
+    np.testing.assert_array_equal(vc, vf[..., :kc])
+    key_c = np.asarray(capped.hits.key)[vc]
+    key_f = np.asarray(full.hits.key)[..., :kc][vc]
+    np.testing.assert_allclose(key_c, key_f, rtol=3e-7, atol=0.0)
