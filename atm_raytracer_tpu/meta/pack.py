@@ -621,19 +621,18 @@ def pack_viewer_fields_delta(key, elevation, image):
     Per valid slot: key as i16 stream-delta of the 1/256 fixed point
     (``_KEY_QUANT``; 2 B vs 4 B f32) + elevation u16 (identical coding to
     :func:`pack_viewer_fields_separable` — decodes bit-equal). Per HIT
-    pixel: the u8 RGB frame compacted to hit pixels and per-channel
-    i8 stream-delta coded (~1-3 B/px vs 3 B/px raw for smooth shading) —
-    valid-free pixels are the frame's constant sky/fog base color
-    (renderer/mod.rs:395-411), so the reconstruction is bit-exact from the
-    validity bitmask + one host-supplied RGB constant. Callers must pass
-    Fast-generator no-object frames with a constant no-hit color (no
-    partial-translucency remainders): K-slot pixels reconstruct as hit iff
-    ANY slot is valid.
+    pixel: the u8 RGB frame compacted to hit pixels (3 B/px; a u8 frame
+    has no narrower lossless per-channel form without device-side entropy
+    coding, so no delta pass) — valid-free pixels are the frame's constant
+    sky/fog base color (renderer/mod.rs:395-411), so the reconstruction is
+    bit-exact from the validity bitmask + one host-supplied RGB constant.
+    Callers must pass Fast-generator no-object frames with a constant
+    no-hit color (no partial-translucency remainders): K-slot pixels
+    reconstruct as hit iff ANY slot is valid.
 
     Returns (bits, key_d i16, key_exc_idx u32, key_exc_val i32, el_c u16,
-    el_ranges f32 [2], img_d i8 [3, Ppx], img_exc [3, 2, Ppx] (idx, val),
-    counts i32 [6] = (n_valid, n_px, n_key_exc, n_r_exc, n_g_exc,
-    n_b_exc)).
+    el_ranges f32 [2], img_c u8 [3, Ppx],
+    counts i32 [3] = (n_valid, n_px, n_key_exc)).
     """
     valid = jnp.isfinite(key)
     big = jnp.float32(3.4e38)
@@ -670,19 +669,15 @@ def pack_viewer_fields_delta(key, elevation, image):
     pv = valid.reshape(valid.shape[0] * valid.shape[1], -1).any(-1)
     n_px = jnp.sum(pv.astype(jnp.int32))
     img_flat = image.reshape(-1, 3).astype(jnp.int32)
-    img_ds, img_excs, img_counts = [], [], []
-    for c in range(3):
-        x_c = _compact_scatter(pv, img_flat[:, c], jnp.int32)
-        d_c, ei, ev, ne = _delta_encode(x_c, n_px, 127, jnp.int8)
-        img_ds.append(d_c)
-        img_excs.append(jnp.stack([ei.astype(jnp.int32), ev]))
-        img_counts.append(ne)
-    counts = jnp.stack(
-        [count, n_px, n_kexc] + img_counts
-    ).astype(jnp.int32)
+    # scatter in u32 then narrow elementwise: sub-u16 scatters are unproven
+    # on the remote TPU toolchain (meta/serialize.py::_pack_artifact note)
+    img_c = jnp.stack([
+        _compact_scatter(pv, img_flat[:, c], jnp.int32).astype(jnp.uint8)
+        for c in range(3)
+    ])
+    counts = jnp.stack([count, n_px, n_kexc]).astype(jnp.int32)
     return (bits, key_d, kexc_i, kexc_v, el_c,
-            jnp.stack([el_lo, el_hi]), jnp.stack(img_ds),
-            jnp.stack(img_excs), counts)
+            jnp.stack([el_lo, el_hi]), img_c, counts)
 
 
 def _delta_decode(d_small, exc_idx, exc_val):
@@ -737,26 +732,21 @@ def fetch_viewer_fields_delta(result, model, step: float, sky_rgb,
     ex = fetch_pool()
     try:
         co_outs, co_futs = submit_fetch(ex, co_fetch)
-        (bits, key_d, kexc_i, kexc_v, el_c, el_ranges, img_d, img_exc,
+        (bits, key_d, kexc_i, kexc_v, el_c, el_ranges, img_c,
          counts) = pack_viewer_fields_delta(
             jnp.asarray(hits.key), jnp.asarray(hits.elevation),
             jnp.asarray(result.image),
         )
-        n, n_px, n_kexc, n_r, n_g, n_b = (
-            int(v) for v in _jax.device_get(counts)
-        )
+        n, n_px, n_kexc = (int(v) for v in _jax.device_get(counts))
         segs = [bits, key_d[:n], kexc_i[:n_kexc], kexc_v[:n_kexc],
-                el_c[:n]]
-        for c, ne in enumerate((n_r, n_g, n_b)):
-            segs += [img_d[c, :n_px], img_exc[c, 0, :ne],
-                     img_exc[c, 1, :ne]]
+                el_c[:n],
+                img_c[0, :n_px], img_c[1, :n_px], img_c[2, :n_px]]
         meta_outs, meta_futs = submit_fetch(ex, segs)
         for f in meta_futs + co_futs:
             f.result()
     finally:
         ex.shutdown(wait=True)
-    (bits_h, key_d_h, kexc_i_h, kexc_v_h, el_h,
-     dr_h, eir_h, evr_h, dg_h, eig_h, evg_h, db_h, eib_h, evb_h) = meta_outs
+    (bits_h, key_d_h, kexc_i_h, kexc_v_h, el_h, r_h, g_h, b_h) = meta_outs
     staged = sum(int(s.nbytes) for s in meta_outs)
 
     q = _delta_decode(key_d_h, kexc_i_h, kexc_v_h)
@@ -770,16 +760,14 @@ def fetch_viewer_fields_delta(result, model, step: float, sky_rgb,
     image = np.empty((h * w, 3), np.uint8)
     image[:] = np.asarray(sky_rgb, np.uint8)
     pv = vf.valid.reshape(h * w, -1).any(-1)
-    for c, (d, ei, ev) in enumerate(
-        ((dr_h, eir_h, evr_h), (dg_h, eig_h, evg_h), (db_h, eib_h, evb_h))
-    ):
-        image[pv, c] = _delta_decode(d, ei, ev).astype(np.uint8)
+    for c, ch in enumerate((r_h, g_h, b_h)):
+        image[pv, c] = ch
     image = image.reshape(h, w, 3)
     stats = {
         "staged_bytes": staged,
         "n_valid": int(n),
         "n_hit_px": int(n_px),
-        "n_exceptions": int(n_kexc + n_r + n_g + n_b),
+        "n_exceptions": int(n_kexc),
     }
     return (vf, image, stats) if not co_fetch else (
         vf, image, stats, list(co_outs)
