@@ -687,6 +687,56 @@ def _delta_decode(d_small, exc_idx, exc_val):
     return np.cumsum(d)
 
 
+@jax.jit
+def pack_frame_compact(valid, image):
+    """Lossless device-side frame compaction for link-limited fetches.
+
+    ``valid`` [H, W, K] hit mask, ``image`` [H, W, 3] u8. Pixels with no
+    valid slot are the frame's constant no-hit color
+    (:func:`frame_base_rgb`; renderer/mod.rs:395-411), so only hit pixels'
+    RGB plus a per-pixel validity bitmask need to cross the link:
+    bits u32 [ceil(HW/32)] + 3 B per hit pixel, vs 3 B for every pixel —
+    ~45 % fewer bytes on a half-sky frame, reconstructed bit-exactly by
+    :func:`unpack_frame_compact`. Same preconditions as the delta pack
+    (constant no-hit color — Fast frames; callers with
+    partial-translucency remainders fetch raw).
+
+    Returns (bits u32, img_c u8 [3, HW], n_px i32); fetch
+    ``img_c[:, :n_px]``.
+    """
+    hw = valid.shape[0] * valid.shape[1]
+    pv = valid.reshape(hw, -1).any(-1)
+    n_px = jnp.sum(pv.astype(jnp.int32))
+    img_flat = image.reshape(-1, 3).astype(jnp.int32)
+    img_c = jnp.stack([
+        _compact_scatter(pv, img_flat[:, c], jnp.int32).astype(jnp.uint8)
+        for c in range(3)
+    ])
+    pad = (-hw) % 32
+    vpad = jnp.concatenate(
+        [pv, jnp.zeros((pad,), bool)]
+    ).reshape(-1, 32).astype(jnp.uint32)
+    bits = jnp.sum(
+        vpad << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+        dtype=jnp.uint32,
+    )
+    return bits, img_c, n_px
+
+
+def unpack_frame_compact(bits, channels, sky_rgb, h: int, w: int):
+    """Host inverse of :func:`pack_frame_compact` → [H, W, 3] u8."""
+    hw = h * w
+    bits = np.asarray(bits, np.uint32).reshape(-1)
+    pv = (
+        (bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+    ).astype(bool).reshape(-1)[:hw]
+    image = np.empty((hw, 3), np.uint8)
+    image[:] = np.asarray(sky_rgb, np.uint8)
+    for c in range(3):
+        image[pv, c] = np.asarray(channels[c], np.uint8)
+    return image.reshape(h, w, 3)
+
+
 def frame_base_rgb(coloring, fog_distance) -> np.ndarray:
     """The composited frame's constant no-hit color as u8 (the value
     ``ops.composite.composite`` writes where no slot is valid): the

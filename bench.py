@@ -139,34 +139,53 @@ def bench_headline(terrain):
     table = build_refraction_table(params, alt0)
     n_terr = int(math.ceil(max_distance / step))
 
+    from atm_raytracer_tpu.generators.base import fetch_flat_many
+    from atm_raytracer_tpu.meta.pack import (
+        frame_base_rgb,
+        pack_frame_compact,
+        unpack_frame_compact,
+    )
+
     core = functools.partial(
         fast_core,
         model=params.model, shape=params.model.to_shape(), straight=False,
         step=step, n_terr=n_terr, max_hits=1, lat0=LAT0, lon0=LON0,
         coloring=params.coloring, fog_distance=None, terrain_alpha=1.0,
     )
-    # the image leaves the device FLAT: a [H, W, 3] u8 fetch pays a
-    # device-side de-tiling pass; flat streams at link speed
-    jitted = jax.jit(
-        lambda pk, tb, el, az: core(pk, tb, None, el, az, float(alt0))[0].reshape(-1)
-    )
+
+    # the frame leaves the device COMPACTED (meta/pack.py): hit-pixel RGB +
+    # a validity bitmask; sky is one constant. Lossless — the reconstructed
+    # frame is bit-identical to the raw fetch (pinned by
+    # tests/test_meta_pack.py::test_frame_compact_roundtrip) — and ~45 %
+    # fewer bytes on this half-sky frame, so the link-limited transfer
+    # share of the wall halves. Host reconstruction time stays in the wall.
+    def packed(pk, tb, el, az):
+        image, hits = core(pk, tb, None, el, az, float(alt0))
+        return pack_frame_compact(hits.valid, image)
+
+    jitted = jax.jit(packed)
+    sky = frame_base_rgb(params.coloring, None)
     el = jnp.asarray(elev_deg, jnp.float32)
     az = jnp.asarray(az_deg, jnp.float32)
 
-    np.asarray(jitted(pack, table, el, az))  # warmup / compile
+    jax.device_get(jitted(pack, table, el, az)[2])  # warmup / compile
     times, dev_times = [], []
     for i in range(5):  # median of 5: the tunnel's transfer jitter (±0.5 s)
         # would dominate a 3-sample median on a bad day
         el_i = el + np.float32(i) * np.float32(1e-7)
         t0 = time.perf_counter()
-        out = jitted(pack, table, el_i, az)
-        # device completion first (device_get of one element; CLAUDE.md —
-        # block_until_ready is unreliable over the tunnel), then the fetch:
-        # the wall's transfer share drifts with tunnel weather, the device
-        # share is the chip's own number
-        jax.device_get(out[0])
+        bits, img_c, n_px = jitted(pack, table, el_i, az)
+        # device completion first (device_get of the scalar count; CLAUDE.md
+        # — block_until_ready is unreliable over the tunnel), then the
+        # fetch: the wall's transfer share drifts with tunnel weather, the
+        # device share is the chip's own number
+        n = int(jax.device_get(n_px))
         t1 = time.perf_counter()
-        np.asarray(out)
+        outs = fetch_flat_many(
+            (bits, img_c[0, :n], img_c[1, :n], img_c[2, :n])
+        )
+        frame = unpack_frame_compact(outs[0], outs[1:], sky, height, width)
+        assert frame.shape == (height, width, 3)
         times.append(time.perf_counter() - t0)
         dev_times.append(t1 - t0)
     wall = float(np.median(times))

@@ -379,3 +379,30 @@ def test_delta_encode_exceptions_roundtrip():
         np.asarray(d), np.asarray(ei[:ne]), np.asarray(ev[:ne])
     )
     np.testing.assert_array_equal(got, x)
+
+
+def test_frame_compact_roundtrip(tmp_path_factory):
+    """pack_frame_compact/unpack_frame_compact reconstruct the frame
+    bit-exactly from hit-pixel RGB + bitmask + the sky constant, with
+    strictly fewer staged bytes than the raw u8 frame (the headline bench
+    fetch path)."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.meta.pack import (
+        frame_base_rgb, pack_frame_compact, unpack_frame_compact,
+    )
+
+    params, r = _small_fast_render(tmp_path_factory)
+    h, w = r.image.shape[0], r.image.shape[1]
+    bits, img_c, n_px = pack_frame_compact(
+        jnp.asarray(r.hits.valid), jnp.asarray(r.image)
+    )
+    n = int(np.asarray(n_px))
+    valid_px = np.asarray(r.hits.valid).any(-1)
+    assert n == int(valid_px.sum())
+    channels = [np.asarray(img_c[c, :n]) for c in range(3)]
+    sky = frame_base_rgb(params.coloring, None)
+    frame = unpack_frame_compact(np.asarray(bits), channels, sky, h, w)
+    np.testing.assert_array_equal(frame, np.asarray(r.image))
+    staged = np.asarray(bits).nbytes + 3 * n
+    assert staged < 3 * h * w
