@@ -697,9 +697,11 @@ def pack_frame_compact(valid, image):
     RGB plus a per-pixel validity bitmask need to cross the link:
     bits u32 [ceil(HW/32)] + 3 B per hit pixel, vs 3 B for every pixel —
     ~45 % fewer bytes on a half-sky frame, reconstructed bit-exactly by
-    :func:`unpack_frame_compact`. Same preconditions as the delta pack
-    (constant no-hit color — Fast frames; callers with
-    partial-translucency remainders fetch raw).
+    :func:`unpack_frame_compact`. Lossless for ANY composited frame:
+    pixels with hits ship their raw RGB, and no-hit pixels are exactly
+    ``trunc(def255)`` — the constant sky/fog base — regardless of
+    translucency (partial-alpha remainders only occur on hit pixels,
+    ops/composite.py:64-71).
 
     Returns (bits u32, img_c u8 [3, HW], n_px i32); fetch
     ``img_c[:, :n_px]``.

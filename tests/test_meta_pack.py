@@ -406,3 +406,63 @@ def test_frame_compact_roundtrip(tmp_path_factory):
     np.testing.assert_array_equal(frame, np.asarray(r.image))
     staged = np.asarray(bits).nbytes + 3 * n
     assert staged < 3 * h * w
+
+
+def test_frame_compact_lossless_with_fog_and_objects(tmp_path):
+    """The compact frame fetch is lossless for ANY scene: hit pixels ship
+    raw RGB and no-hit pixels are exactly the constant fog/sky base even
+    with translucent terrain + objects (partial-alpha remainders only
+    occur on hit pixels)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from fixtures import M_PER_DEG, make_terrain_folder
+
+    from atm_raytracer_tpu.config import Config
+    from atm_raytracer_tpu.generators import render_fast
+    from atm_raytracer_tpu.meta.pack import (
+        frame_base_rgb, pack_frame_compact, unpack_frame_compact,
+    )
+    from atm_raytracer_tpu.terrain.store import Terrain
+
+    d = make_terrain_folder(tmp_path, tiles=((49, 21),), n=121)
+    cfg = Config.from_dict({
+        "scene": {
+            "terrain_folder": str(d),
+            "terrain_alpha": 0.7,
+            "objects": [{
+                "position": {
+                    "latitude": 49.5 + 600.0 / M_PER_DEG,
+                    "longitude": 21.5,
+                    "altitude": {"Relative": 0.0},
+                },
+                "color": {"r": 0.9, "g": 0.2, "b": 0.1, "a": 0.5},
+                "shape": {"Cylinder": {"radius": 25.0, "height": 150.0}},
+            }],
+        },
+        "view": {
+            "position": {"latitude": 49.5, "longitude": 21.5,
+                         "altitude": {"Relative": 25.0}},
+            "frame": {"direction": 0.0, "fov": 15.0,
+                      "max_distance": 6000.0},
+            "fog_distance": 10000.0,
+        },
+        "simulation_step": 50.0,
+        "output": {"width": 48, "height": 36},
+    })
+    terrain = Terrain.from_folder(d)
+    params = cfg.into_params(terrain)
+    r = render_fast(params, terrain)
+    h, w = r.image.shape[0], r.image.shape[1]
+    bits, img_c, n_px = pack_frame_compact(
+        jnp.asarray(r.hits.valid), jnp.asarray(r.image)
+    )
+    n = int(np.asarray(n_px))
+    sky = frame_base_rgb(params.coloring, params.view.fog_distance)
+    frame = unpack_frame_compact(
+        np.asarray(bits), [np.asarray(img_c[c, :n]) for c in range(3)],
+        sky, h, w,
+    )
+    np.testing.assert_array_equal(frame, np.asarray(r.image))
+    assert math.isfinite(n) and 0 < n < h * w
