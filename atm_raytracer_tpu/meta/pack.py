@@ -726,16 +726,21 @@ def pack_frame_compact(valid, image):
 
 
 def unpack_frame_compact(bits, channels, sky_rgb, h: int, w: int):
-    """Host inverse of :func:`pack_frame_compact` → [H, W, 3] u8."""
+    """Host inverse of :func:`pack_frame_compact` → [H, W, 3] u8.
+
+    unpackbits over the LE u32 words + ONE stacked scatter: ~2× faster
+    than per-channel boolean indexing (~40 ms at 1080p on a 1-core host —
+    this runs inside the headline bench wall)."""
     hw = h * w
-    bits = np.asarray(bits, np.uint32).reshape(-1)
-    pv = (
-        (bits[:, None] >> np.arange(32, dtype=np.uint32)) & 1
-    ).astype(bool).reshape(-1)[:hw]
+    bits = np.ascontiguousarray(np.asarray(bits, np.uint32).reshape(-1))
+    pv = np.unpackbits(
+        bits.view(np.uint8), bitorder="little"
+    )[:hw].astype(bool)
     image = np.empty((hw, 3), np.uint8)
     image[:] = np.asarray(sky_rgb, np.uint8)
-    for c in range(3):
-        image[pv, c] = np.asarray(channels[c], np.uint8)
+    image[pv] = np.stack(
+        [np.asarray(c, np.uint8) for c in channels], axis=-1
+    )
     return image.reshape(h, w, 3)
 
 
