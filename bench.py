@@ -339,6 +339,13 @@ def bench_sweep(terrain):
     from atm_raytracer_tpu.config import Config
     from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
 
+    from atm_raytracer_tpu.generators.base import fetch_flat_many
+    from atm_raytracer_tpu.meta.pack import (
+        frame_base_rgb,
+        pack_frame_compact,
+        unpack_frame_compact,
+    )
+
     width, height, max_distance, step = 1280, 720, 100_000.0, 50.0
     params = Config.from_dict(
         _view_dict(width, height, 45.0, max_distance, step)
@@ -346,15 +353,32 @@ def bench_sweep(terrain):
     mesh = make_mesh(jax.devices()[:1])
     dirs = [i * 45.0 for i in range(8)]
     per_run = []
+    sky = frame_base_rgb(params.coloring, None)
+    packer = jax.jit(jax.vmap(pack_frame_compact))
 
     def run():
         t0 = time.perf_counter()
-        frames = render_sweep_sharded(params, terrain, mesh, directions_deg=dirs)
-        # device completion first (one-element device_get; CLAUDE.md —
+        frames, hits = render_sweep_sharded(
+            params, terrain, mesh, directions_deg=dirs, return_hits=True
+        )
+        # frames leave the device compacted (hit-pixel RGB + bitmask; sky
+        # is one constant — lossless, meta/pack.py): ~45 % fewer bytes
+        # through the link-limited tunnel
+        bits, img_c, n_px = packer(hits.valid, frames)
+        # device completion first (device_get of the counts; CLAUDE.md —
         # block_until_ready is unreliable over the tunnel), then the fetch
-        jax.device_get(frames.ravel()[0])
+        ns = [int(v) for v in jax.device_get(n_px)]
         per_run.append({"device_s": round(time.perf_counter() - t0, 3)})
-        np.asarray(frames.reshape(-1))
+        segs = [bits] + [
+            img_c[f, c, :ns[f]] for f in range(len(dirs)) for c in range(3)
+        ]
+        outs = fetch_flat_many(segs)
+        words = outs[0].reshape(len(dirs), -1)
+        for f in range(len(dirs)):
+            frame = unpack_frame_compact(
+                words[f], outs[1 + 3 * f: 4 + 3 * f], sky, height, width
+            )
+            assert frame.shape == (height, width, 3)
 
     pick = []
     wall = _timed(run, runs=2, pick=pick)
