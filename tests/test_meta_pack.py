@@ -348,10 +348,10 @@ def test_delta_pack_empty_frame():
     key = jnp.full((h, w, k), jnp.inf, jnp.float32)
     el = jnp.zeros((h, w, k), jnp.float32)
     img = jnp.full((h, w, 3), 28, jnp.uint8)
-    (bits, key_d, kexc_i, kexc_v, el_c, el_ranges, img_c,
+    (bits, key_d, kexc_i, kexc_v, el_d, eexc_i, eexc_v, el_ranges, img_c,
      counts) = pack_viewer_fields_delta(key, el, img)
-    n, n_px, n_kexc = (int(v) for v in np.asarray(counts))
-    assert n == 0 and n_px == 0 and n_kexc == 0
+    n, n_px, n_kexc, n_eexc = (int(v) for v in np.asarray(counts))
+    assert n == 0 and n_px == 0 and n_kexc == 0 and n_eexc == 0
     assert not np.asarray(bits).any()
 
 
