@@ -348,10 +348,9 @@ def test_delta_pack_empty_frame():
     key = jnp.full((h, w, k), jnp.inf, jnp.float32)
     el = jnp.zeros((h, w, k), jnp.float32)
     img = jnp.full((h, w, 3), 28, jnp.uint8)
-    (bits, key_d, kexc_i, kexc_v, el_d, eexc_i, eexc_v, el_ranges, img_c,
-     counts) = pack_viewer_fields_delta(key, el, img)
-    n, n_px, n_kexc, n_eexc = (int(v) for v in np.asarray(counts))
-    assert n == 0 and n_px == 0 and n_kexc == 0 and n_eexc == 0
+    (bits, key_d, kexc_i, kexc_v, el_n, eexc_i, eexc_v, el_ranges,
+     img_n, img_ei, img_ev, counts) = pack_viewer_fields_delta(key, el, img)
+    assert all(int(v) == 0 for v in np.asarray(counts))
     assert not np.asarray(bits).any()
 
 
@@ -466,3 +465,29 @@ def test_frame_compact_lossless_with_fog_and_objects(tmp_path):
     )
     np.testing.assert_array_equal(frame, np.asarray(r.image))
     assert math.isfinite(n) and 0 < n < h * w
+
+
+def test_delta_encode4_exceptions_roundtrip():
+    """Nibble coding + host decode: exact for adversarial streams (odd
+    length, first-element overflow, big jumps both signs, boundary values
+    -8/+7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.meta.pack import _delta_decode4, _delta_encode4
+
+    rng = np.random.RandomState(5)
+    x = np.cumsum(rng.randint(-8, 8, size=4097)).astype(np.int64)  # odd n
+    x[0] += 300  # first delta overflows the nibble
+    x[77:] += 5000
+    x[3000:] -= 12345
+    xj = jnp.asarray(x, jnp.int32)
+    nb, ei, ev, ne = jax.jit(
+        lambda v: _delta_encode4(v, jnp.int32(v.shape[0]))
+    )(xj)
+    ne = int(ne)
+    assert ne >= 3
+    got = _delta_decode4(
+        np.asarray(nb), len(x), np.asarray(ei[:ne]), np.asarray(ev[:ne])
+    )
+    np.testing.assert_array_equal(got, x)
