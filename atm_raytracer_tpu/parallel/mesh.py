@@ -133,7 +133,8 @@ def render_sweep_sharded(
     tilts_deg: Optional[Sequence[float]] = None,
     fovs_deg: Optional[Sequence[float]] = None,
     max_hits: Optional[int] = None,
-    return_hits: bool = False,
+    return_hits=False,  # False | True | "valid" (hit masks only)
+    fetch_frames: bool = True,
 ):
     """Batched sweep: F frames over (direction, tilt, fov, altitude,
     atmosphere), frame-sharded (BASELINE configs[4]: azimuth/altitude/
@@ -150,6 +151,11 @@ def render_sweep_sharded(
     returns the per-frame HitBuffer batch ([F, H, W, K] leaves,
     DEVICE-resident and frame-sharded — fetch selectively; staging all
     frames' metadata through the host link costs more than the render).
+    ``return_hits="valid"`` returns only the [F, H, W, K] hit masks (XLA
+    dead-code-eliminates the other hit fields — the compact-frame staging
+    path, meta/pack.py). ``fetch_frames=False`` leaves the images
+    device-resident so callers can stage them compacted instead of
+    paying the raw flat fetch here.
     """
     out = params.output
     frame = params.view.frame
@@ -279,7 +285,7 @@ def render_sweep_sharded(
         pack_r, table_r, obj_r, elev_r, az_dev, alt_dev, light_dev,
         batched_table=table_axes is not None,
         batched_elev=elev_frames is not None,
-        with_hits=bool(return_hits),
+        with_hits=("valid" if return_hits == "valid" else bool(return_hits)),
         model=params.model,
         shape=params.model.to_shape(),
         straight=params.straight_rays,
@@ -292,8 +298,11 @@ def render_sweep_sharded(
         fog_distance=params.view.fog_distance,
         terrain_alpha=float(params.terrain_alpha),
     )
-    # flat fetch (u8 frames de-tile on device otherwise), reshape on host
-    frames = fetch_flat(images).reshape(images.shape)[:f]
+    if fetch_frames:
+        # flat fetch (u8 frames de-tile on device otherwise), host reshape
+        frames = fetch_flat(images).reshape(images.shape)[:f]
+    else:
+        frames = images[:f]  # device-resident: caller stages/fetches
     if not return_hits:
         return frames
     hits = jax.tree.map(lambda x: x[:f], hits)  # drop mesh padding frames
@@ -320,6 +329,10 @@ def _sweep_device(pack, table, objset, elev_deg, az_frames, alts, lights,
             pack, tab, objset, elev_row, az_row, alt, light_dir=light,
             **statics,
         )
+        if with_hits == "valid":
+            # compact-frame staging needs only the hit mask; XLA DCEs the
+            # other 13 per-frame hit fields
+            return image, hits.valid
         return image, hits
 
     if batched_table:

@@ -358,13 +358,16 @@ def bench_sweep(terrain):
 
     def run():
         t0 = time.perf_counter()
-        frames, hits = render_sweep_sharded(
-            params, terrain, mesh, directions_deg=dirs, return_hits=True
+        frames, valid = render_sweep_sharded(
+            params, terrain, mesh, directions_deg=dirs,
+            return_hits="valid", fetch_frames=False,
         )
         # frames leave the device compacted (hit-pixel RGB + bitmask; sky
         # is one constant — lossless, meta/pack.py): ~45 % fewer bytes
-        # through the link-limited tunnel
-        bits, img_c, n_px = packer(hits.valid, frames)
+        # through the link-limited tunnel. return_hits="valid" keeps only
+        # the masks (other hit fields DCE) and fetch_frames=False keeps
+        # the frames device-resident for the pack.
+        bits, img_c, n_px = packer(valid, frames)
         # device completion first (device_get of the counts; CLAUDE.md —
         # block_until_ready is unreliable over the tunnel), then the fetch
         ns = [int(v) for v in jax.device_get(n_px)]

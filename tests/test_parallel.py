@@ -487,3 +487,44 @@ def test_sweep_return_hits_matches_single_render(setup):
     np.testing.assert_array_equal(
         np.asarray(hits.elevation)[1], np.asarray(single.hits.elevation)
     )
+
+
+def test_sweep_valid_mode_and_compact_staging(setup):
+    """return_hits="valid" + fetch_frames=False: the hit masks match the
+    full-hits path, device-resident frames match the fetched ones, and the
+    vmapped compact-frame pack reconstructs every frame bit-exactly (the
+    sweep bench staging path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.meta.pack import (
+        frame_base_rgb, pack_frame_compact, unpack_frame_compact,
+    )
+    from atm_raytracer_tpu.parallel.mesh import make_mesh, render_sweep_sharded
+
+    config, terrain, params = setup
+    mesh = make_mesh()
+    dirs = [0.0, 90.0]
+    frames_h, hits = render_sweep_sharded(
+        params, terrain, mesh, dirs, return_hits=True
+    )
+    frames_d, valid = render_sweep_sharded(
+        params, terrain, mesh, dirs, return_hits="valid",
+        fetch_frames=False,
+    )
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(hits.valid))
+    np.testing.assert_array_equal(np.asarray(frames_d), frames_h)
+
+    bits, img_c, n_px = jax.jit(jax.vmap(pack_frame_compact))(
+        jnp.asarray(valid), jnp.asarray(frames_d)
+    )
+    sky = frame_base_rgb(params.coloring, params.view.fog_distance)
+    words = np.asarray(bits)
+    h, w = frames_h.shape[1], frames_h.shape[2]
+    for f in range(len(dirs)):
+        n = int(np.asarray(n_px)[f])
+        frame = unpack_frame_compact(
+            words[f], [np.asarray(img_c[f, c, :n]) for c in range(3)],
+            sky, h, w,
+        )
+        np.testing.assert_array_equal(frame, frames_h[f])
