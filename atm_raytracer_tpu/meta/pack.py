@@ -751,27 +751,34 @@ def pack_frame_compact(valid, image):
 
     ``valid`` [H, W, K] hit mask, ``image`` [H, W, 3] u8. Pixels with no
     valid slot are the frame's constant no-hit color
-    (:func:`frame_base_rgb`; renderer/mod.rs:395-411), so only hit pixels'
-    RGB plus a per-pixel validity bitmask need to cross the link:
-    bits u32 [ceil(HW/32)] + 3 B per hit pixel, vs 3 B for every pixel —
-    ~45 % fewer bytes on a half-sky frame, reconstructed bit-exactly by
-    :func:`unpack_frame_compact`. Lossless for ANY composited frame:
-    pixels with hits ship their raw RGB, and no-hit pixels are exactly
-    ``trunc(def255)`` — the constant sky/fog base — regardless of
-    translucency (partial-alpha remainders only occur on hit pixels,
-    ops/composite.py:64-71).
+    (:func:`frame_base_rgb`; renderer/mod.rs:395-411), so only hit pixels
+    need to cross the link, and those ship as per-channel 4-bit
+    stream-deltas (shading moves slowly pixel-to-pixel; overflows ride an
+    exact exception side-channel, :func:`_delta_encode4`):
+    bits u32 [ceil(HW/32)] + ~1.5 B per hit pixel, vs 3 B for every
+    pixel — ~4× fewer bytes on a half-sky frame, reconstructed
+    bit-exactly by :func:`unpack_frame_compact`. Lossless for ANY
+    composited frame: no-hit pixels are exactly ``trunc(def255)`` — the
+    constant sky/fog base — regardless of translucency (partial-alpha
+    remainders only occur on hit pixels, ops/composite.py:64-71).
 
-    Returns (bits u32, img_c u8 [3, HW], n_px i32); fetch
-    ``img_c[:, :n_px]``.
+    Returns (bits u32, img_n u8 [3, ceil(HW/2)] nibbles,
+    img_ei u32 [3, HW], img_ev i32 [3, HW], counts i32 [4] =
+    (n_px, ne_r, ne_g, ne_b)); fetch ``img_n[c, :(n_px+1)//2]`` plus the
+    per-channel exception slices.
     """
     hw = valid.shape[0] * valid.shape[1]
     pv = valid.reshape(hw, -1).any(-1)
     n_px = jnp.sum(pv.astype(jnp.int32))
     img_flat = image.reshape(-1, 3).astype(jnp.int32)
-    img_c = jnp.stack([
-        _compact_scatter(pv, img_flat[:, c], jnp.int32).astype(jnp.uint8)
-        for c in range(3)
-    ])
+    nibbles, eis, evs, nes = [], [], [], []
+    for c in range(3):
+        x_c = _compact_scatter(pv, img_flat[:, c], jnp.int32)
+        nb, ei, ev, ne = _delta_encode4(x_c, n_px)
+        nibbles.append(nb)
+        eis.append(ei)
+        evs.append(ev)
+        nes.append(ne)
     pad = (-hw) % 32
     vpad = jnp.concatenate(
         [pv, jnp.zeros((pad,), bool)]
@@ -780,15 +787,18 @@ def pack_frame_compact(valid, image):
         vpad << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
         dtype=jnp.uint32,
     )
-    return bits, img_c, n_px
+    return (bits, jnp.stack(nibbles), jnp.stack(eis), jnp.stack(evs),
+            jnp.stack([n_px] + nes).astype(jnp.int32))
 
 
-def unpack_frame_compact(bits, channels, sky_rgb, h: int, w: int):
+def unpack_frame_compact(bits, channels, sky_rgb, h: int, w: int,
+                         n_px: int):
     """Host inverse of :func:`pack_frame_compact` → [H, W, 3] u8.
 
-    unpackbits over the LE u32 words + ONE stacked scatter: ~2× faster
-    than per-channel boolean indexing (~40 ms at 1080p on a 1-core host —
-    this runs inside the headline bench wall)."""
+    ``channels``: three (nibbles, exc_idx, exc_val) triples. unpackbits
+    over the LE u32 words + ONE stacked scatter (~2× faster than
+    per-channel boolean indexing; this runs inside the headline bench
+    wall)."""
     hw = h * w
     bits = np.ascontiguousarray(np.asarray(bits, np.uint32).reshape(-1))
     pv = np.unpackbits(
@@ -797,7 +807,9 @@ def unpack_frame_compact(bits, channels, sky_rgb, h: int, w: int):
     image = np.empty((hw, 3), np.uint8)
     image[:] = np.asarray(sky_rgb, np.uint8)
     image[pv] = np.stack(
-        [np.asarray(c, np.uint8) for c in channels], axis=-1
+        [_delta_decode4(nb, n_px, ei, ev).astype(np.uint8)
+         for nb, ei, ev in channels],
+        axis=-1,
     )
     return image.reshape(h, w, 3)
 

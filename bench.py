@@ -168,23 +168,29 @@ def bench_headline(terrain):
     el = jnp.asarray(elev_deg, jnp.float32)
     az = jnp.asarray(az_deg, jnp.float32)
 
-    jax.device_get(jitted(pack, table, el, az)[2])  # warmup / compile
+    jax.device_get(jitted(pack, table, el, az)[4])  # warmup / compile
     times, dev_times = [], []
     for i in range(5):  # median of 5: the tunnel's transfer jitter (±0.5 s)
         # would dominate a 3-sample median on a bad day
         el_i = el + np.float32(i) * np.float32(1e-7)
         t0 = time.perf_counter()
-        bits, img_c, n_px = jitted(pack, table, el_i, az)
-        # device completion first (device_get of the scalar count; CLAUDE.md
-        # — block_until_ready is unreliable over the tunnel), then the
+        bits, img_n, img_ei, img_ev, counts = jitted(pack, table, el_i, az)
+        # device completion first (device_get of the counts; CLAUDE.md —
+        # block_until_ready is unreliable over the tunnel), then the
         # fetch: the wall's transfer share drifts with tunnel weather, the
         # device share is the chip's own number
-        n = int(jax.device_get(n_px))
+        n_px, *nes = (int(v) for v in jax.device_get(counts))
         t1 = time.perf_counter()
-        outs = fetch_flat_many(
-            (bits, img_c[0, :n], img_c[1, :n], img_c[2, :n])
+        segs = [bits]
+        for c, ne in enumerate(nes):
+            segs += [img_n[c, :(n_px + 1) // 2], img_ei[c, :ne],
+                     img_ev[c, :ne]]
+        outs = fetch_flat_many(segs)
+        frame = unpack_frame_compact(
+            outs[0],
+            [tuple(outs[1 + 3 * c: 4 + 3 * c]) for c in range(3)],
+            sky, height, width, n_px,
         )
-        frame = unpack_frame_compact(outs[0], outs[1:], sky, height, width)
         assert frame.shape == (height, width, 3)
         times.append(time.perf_counter() - t0)
         dev_times.append(t1 - t0)
@@ -259,13 +265,19 @@ def bench_objects(terrain):
         # bitmask; no-hit pixels are the constant sky even on this
         # translucent-terrain scene (remainder blending only happens on
         # hit pixels)
-        bits, img_c, n_px = packer(r.hits.valid, r.image)
-        n = int(jax.device_get(n_px))
+        bits, img_n, img_ei, img_ev, counts = packer(r.hits.valid, r.image)
+        n_px, *nes = (int(v) for v in jax.device_get(counts))
         t1 = time.perf_counter()
-        outs = fetch_flat_many(
-            (bits, img_c[0, :n], img_c[1, :n], img_c[2, :n])
+        segs = [bits]
+        for c, ne in enumerate(nes):
+            segs += [img_n[c, :(n_px + 1) // 2], img_ei[c, :ne],
+                     img_ev[c, :ne]]
+        outs = fetch_flat_many(segs)
+        frame = unpack_frame_compact(
+            outs[0],
+            [tuple(outs[1 + 3 * c: 4 + 3 * c]) for c in range(3)],
+            sky, height, width, n_px,
         )
-        frame = unpack_frame_compact(outs[0], outs[1:], sky, height, width)
         assert frame.shape == (height, width, 3)
         return t1 - t0, time.perf_counter() - t0
 
@@ -384,19 +396,28 @@ def bench_sweep(terrain):
         # through the link-limited tunnel. return_hits="valid" keeps only
         # the masks (other hit fields DCE) and fetch_frames=False keeps
         # the frames device-resident for the pack.
-        bits, img_c, n_px = packer(valid, frames)
+        bits, img_n, img_ei, img_ev, counts = packer(valid, frames)
         # device completion first (device_get of the counts; CLAUDE.md —
         # block_until_ready is unreliable over the tunnel), then the fetch
-        ns = [int(v) for v in jax.device_get(n_px)]
+        cts = np.asarray(jax.device_get(counts))  # [F, 4]
         per_run.append({"device_s": round(time.perf_counter() - t0, 3)})
-        segs = [bits] + [
-            img_c[f, c, :ns[f]] for f in range(len(dirs)) for c in range(3)
-        ]
+        nf = len(dirs)
+        segs = [bits]
+        for f in range(nf):
+            n_px = int(cts[f, 0])
+            for c in range(3):
+                ne = int(cts[f, 1 + c])
+                segs += [img_n[f, c, :(n_px + 1) // 2],
+                         img_ei[f, c, :ne], img_ev[f, c, :ne]]
         outs = fetch_flat_many(segs)
-        words = outs[0].reshape(len(dirs), -1)
-        for f in range(len(dirs)):
+        words = outs[0].reshape(nf, -1)
+        for f in range(nf):
+            base = 1 + 9 * f
             frame = unpack_frame_compact(
-                words[f], outs[1 + 3 * f: 4 + 3 * f], sky, height, width
+                words[f],
+                [tuple(outs[base + 3 * c: base + 3 * c + 3])
+                 for c in range(3)],
+                sky, height, width, int(cts[f, 0]),
             )
             assert frame.shape == (height, width, 3)
 

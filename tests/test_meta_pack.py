@@ -393,17 +393,23 @@ def test_frame_compact_roundtrip(tmp_path_factory):
 
     params, r = _small_fast_render(tmp_path_factory)
     h, w = r.image.shape[0], r.image.shape[1]
-    bits, img_c, n_px = pack_frame_compact(
+    bits, img_n, img_ei, img_ev, counts = pack_frame_compact(
         jnp.asarray(r.hits.valid), jnp.asarray(r.image)
     )
-    n = int(np.asarray(n_px))
+    n, *nes = (int(v) for v in np.asarray(counts))
     valid_px = np.asarray(r.hits.valid).any(-1)
     assert n == int(valid_px.sum())
-    channels = [np.asarray(img_c[c, :n]) for c in range(3)]
+    channels = [
+        (np.asarray(img_n[c, :(n + 1) // 2]),
+         np.asarray(img_ei[c, :nes[c]]), np.asarray(img_ev[c, :nes[c]]))
+        for c in range(3)
+    ]
     sky = frame_base_rgb(params.coloring, None)
-    frame = unpack_frame_compact(np.asarray(bits), channels, sky, h, w)
+    frame = unpack_frame_compact(np.asarray(bits), channels, sky, h, w, n)
     np.testing.assert_array_equal(frame, np.asarray(r.image))
-    staged = np.asarray(bits).nbytes + 3 * n
+    staged = np.asarray(bits).nbytes + sum(
+        x.nbytes for ch in channels for x in ch
+    )
     assert staged < 3 * h * w
 
 
@@ -454,14 +460,17 @@ def test_frame_compact_lossless_with_fog_and_objects(tmp_path):
     params = cfg.into_params(terrain)
     r = render_fast(params, terrain)
     h, w = r.image.shape[0], r.image.shape[1]
-    bits, img_c, n_px = pack_frame_compact(
+    bits, img_n, img_ei, img_ev, counts = pack_frame_compact(
         jnp.asarray(r.hits.valid), jnp.asarray(r.image)
     )
-    n = int(np.asarray(n_px))
+    n, *nes = (int(v) for v in np.asarray(counts))
     sky = frame_base_rgb(params.coloring, params.view.fog_distance)
     frame = unpack_frame_compact(
-        np.asarray(bits), [np.asarray(img_c[c, :n]) for c in range(3)],
-        sky, h, w,
+        np.asarray(bits),
+        [(np.asarray(img_n[c, :(n + 1) // 2]),
+          np.asarray(img_ei[c, :nes[c]]), np.asarray(img_ev[c, :nes[c]]))
+         for c in range(3)],
+        sky, h, w, n,
     )
     np.testing.assert_array_equal(frame, np.asarray(r.image))
     assert math.isfinite(n) and 0 < n < h * w

@@ -515,16 +515,21 @@ def test_sweep_valid_mode_and_compact_staging(setup):
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(hits.valid))
     np.testing.assert_array_equal(np.asarray(frames_d), frames_h)
 
-    bits, img_c, n_px = jax.jit(jax.vmap(pack_frame_compact))(
-        jnp.asarray(valid), jnp.asarray(frames_d)
-    )
+    bits, img_n, img_ei, img_ev, counts = jax.jit(
+        jax.vmap(pack_frame_compact)
+    )(jnp.asarray(valid), jnp.asarray(frames_d))
     sky = frame_base_rgb(params.coloring, params.view.fog_distance)
     words = np.asarray(bits)
+    cts = np.asarray(counts)
     h, w = frames_h.shape[1], frames_h.shape[2]
     for f in range(len(dirs)):
-        n = int(np.asarray(n_px)[f])
+        n = int(cts[f, 0])
         frame = unpack_frame_compact(
-            words[f], [np.asarray(img_c[f, c, :n]) for c in range(3)],
-            sky, h, w,
+            words[f],
+            [(np.asarray(img_n[f, c, :(n + 1) // 2]),
+              np.asarray(img_ei[f, c, :cts[f, 1 + c]]),
+              np.asarray(img_ev[f, c, :cts[f, 1 + c]]))
+             for c in range(3)],
+            sky, h, w, n,
         )
         np.testing.assert_array_equal(frame, frames_h[f])
