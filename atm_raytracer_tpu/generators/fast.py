@@ -638,8 +638,26 @@ def render_fast_streamed(
 
     from .base import fetch_pool, submit_fetch
 
+    # band frames cross the link through the NO-SYNC compact codec
+    # (meta/pack.py::pack_frame_stream): static shapes mean the fetch
+    # submits right after the dispatch with no count round-trip, at
+    # ~1.6 B/pixel vs 3 B raw. Exceptions are capped; a band whose counts
+    # overflow (adversarial inputs only) falls back to a raw fetch of its
+    # still-device-resident frame. ATM_RAYTRACER_COMPACT_STREAM=0 opts out.
+    compact = os.environ.get("ATM_RAYTRACER_COMPACT_STREAM", "1") != "0"
+    exc_cap = 256
+    if compact:
+        from ..meta.pack import (
+            frame_base_rgb,
+            pack_frame_stream,
+            unpack_frame_stream,
+        )
+
+        sky = frame_base_rgb(params.coloring, params.view.fog_distance)
+
     az32 = jnp.asarray(az_deg, jnp.float32)
     band_hits = []
+    band_imgs = []
     outs = []
     futs = []
     ex = fetch_pool()
@@ -659,11 +677,17 @@ def render_fast_streamed(
                 march=march,
             )
             band_hits.append(hits_b)
+            band_imgs.append(image_b)
             # the fetch thread blocks inside np.asarray until THIS band's
             # program completes, while the host loop keeps dispatching the
             # rest — transfers pipeline against later bands' device compute
-            o, f = submit_fetch(ex, (image_b.reshape(-1),))
-            outs.append(o[0])
+            if compact:
+                o, f = submit_fetch(
+                    ex, pack_frame_stream(hits_b.valid, image_b, exc_cap)
+                )
+            else:
+                o, f = submit_fetch(ex, (image_b.reshape(-1),))
+            outs.append(o)
             futs.append(f)
         for i, fs in enumerate(futs):
             for f in fs:
@@ -673,9 +697,23 @@ def render_fast_streamed(
     finally:
         ex.shutdown(wait=True)
 
-    image_host = np.concatenate(
-        [o.reshape(out.height, wb, 3) for o in outs], axis=1
-    )
+    if compact:
+        slabs = []
+        for i, o in enumerate(outs):
+            bits_h, n_h, ei_h, ev_h, cts_h = o
+            fr = unpack_frame_stream(
+                bits_h, n_h, ei_h, ev_h, cts_h, sky, out.height, wb, exc_cap
+            )
+            if fr is None:  # exception-cap overflow: raw fallback
+                from .base import fetch_flat
+
+                fr = fetch_flat(band_imgs[i]).reshape(out.height, wb, 3)
+            slabs.append(fr)
+        image_host = np.concatenate(slabs, axis=1)
+    else:
+        image_host = np.concatenate(
+            [o[0].reshape(out.height, wb, 3) for o in outs], axis=1
+        )
     # hits re-join on device (one concat per field); metadata consumers see
     # the identical [H, W, K] buffers render_fast produces
     hits = jax.tree_util.tree_map(

@@ -30,6 +30,7 @@ O(K) values and full-frame arrays materialize only on first use.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -812,6 +813,70 @@ def unpack_frame_compact(bits, channels, sky_rgb, h: int, w: int,
         axis=-1,
     )
     return image.reshape(h, w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("exc_cap",))
+def pack_frame_stream(valid, image, exc_cap: int):
+    """No-sync variant of :func:`pack_frame_compact` for PIPELINED fetches.
+
+    Every output has a STATIC shape, so a caller dispatching many bands
+    (generators/fast.py::render_fast_streamed) can submit the fetch
+    immediately without a count round-trip between dispatch and transfer:
+    nibble streams cover ALL pixel slots (entries beyond the compact count
+    encode zero deltas and are sliced off at decode), and the exception
+    arrays are capped at ``exc_cap`` — ``counts`` reports the TRUE
+    exception numbers, so a decoder seeing ``ne > exc_cap`` knows the
+    band is unreconstructable and re-fetches raw (measured rates are
+    ~0.00 % of pixels on rendered frames; the cap exists for adversarial
+    inputs, not expected ones). Byte cost ~1.6 B/pixel flat vs 3 B raw —
+    less than :func:`pack_frame_compact`'s ~1.5 B/HIT pixel only when
+    frames are hit-dominated, but with zero sync.
+
+    Returns (bits u32, img_n u8 [3, ceil(HW/2)], img_ei u32 [3, exc_cap],
+    img_ev i32 [3, exc_cap], counts i32 [4] = (n_px, ne_r, ne_g, ne_b)).
+    """
+    hw = valid.shape[0] * valid.shape[1]
+    pv = valid.reshape(hw, -1).any(-1)
+    n_px = jnp.sum(pv.astype(jnp.int32))
+    img_flat = image.reshape(-1, 3).astype(jnp.int32)
+    nibbles, eis, evs, nes = [], [], [], []
+    for c in range(3):
+        x_c = _compact_scatter(pv, img_flat[:, c], jnp.int32)
+        nb, ei, ev, ne = _delta_encode4(x_c, n_px)
+        nibbles.append(nb)
+        eis.append(ei[:exc_cap])
+        evs.append(ev[:exc_cap])
+        nes.append(ne)
+    pad = (-hw) % 32
+    vpad = jnp.concatenate(
+        [pv, jnp.zeros((pad,), bool)]
+    ).reshape(-1, 32).astype(jnp.uint32)
+    bits = jnp.sum(
+        vpad << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+        dtype=jnp.uint32,
+    )
+    return (bits, jnp.stack(nibbles), jnp.stack(eis), jnp.stack(evs),
+            jnp.stack([n_px] + nes).astype(jnp.int32))
+
+
+def unpack_frame_stream(bits, img_n, img_ei, img_ev, counts, sky_rgb,
+                        h: int, w: int, exc_cap: int):
+    """Host inverse of :func:`pack_frame_stream` → [H, W, 3] u8, or
+    ``None`` when any channel overflowed ``exc_cap`` (caller re-fetches
+    the raw frame)."""
+    counts = np.asarray(counts)
+    n_px = int(counts[0])
+    if int(counts[1:].max(initial=0)) > exc_cap:
+        return None
+    img_n = np.asarray(img_n)
+    img_ei = np.asarray(img_ei).reshape(3, -1)
+    img_ev = np.asarray(img_ev).reshape(3, -1)
+    return unpack_frame_compact(
+        bits,
+        [(img_n.reshape(3, -1)[c], img_ei[c, : int(counts[1 + c])],
+          img_ev[c, : int(counts[1 + c])]) for c in range(3)],
+        sky_rgb, h, w, n_px,
+    )
 
 
 def frame_base_rgb(coloring, fog_distance) -> np.ndarray:

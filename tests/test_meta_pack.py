@@ -500,3 +500,45 @@ def test_delta_encode4_exceptions_roundtrip():
         np.asarray(nb), len(x), np.asarray(ei[:ne]), np.asarray(ev[:ne])
     )
     np.testing.assert_array_equal(got, x)
+
+
+def test_pack_frame_stream_nosync_and_overflow():
+    """The static-shape stream codec round-trips bit-exactly, and an
+    exception-cap overflow reports None (raw-refetch signal) instead of a
+    wrong frame."""
+    import jax.numpy as jnp
+
+    from atm_raytracer_tpu.meta.pack import (
+        pack_frame_stream, unpack_frame_stream,
+    )
+
+    rng = np.random.RandomState(2)
+    h, w, k = 24, 40, 2
+    sky = np.array([7, 8, 9], np.uint8)
+    valid = rng.rand(h, w, k) < 0.5
+    # smooth image on hit pixels (nibble-friendly), sky elsewhere
+    base = np.cumsum(rng.randint(-3, 4, size=(h * w, 3)), axis=0) % 200
+    img = base.astype(np.uint8).reshape(h, w, 3)
+    img[~valid.any(-1)] = sky
+    cap = 64
+    bits, img_n, img_ei, img_ev, counts = pack_frame_stream(
+        jnp.asarray(valid), jnp.asarray(img), cap
+    )
+    out = unpack_frame_stream(
+        np.asarray(bits), np.asarray(img_n), np.asarray(img_ei),
+        np.asarray(img_ev), np.asarray(counts), sky, h, w, cap,
+    )
+    np.testing.assert_array_equal(out, img)
+
+    # adversarial image: every delta overflows the nibble → counts blow
+    # past a tiny cap and the decoder must refuse
+    wild = (rng.randint(0, 2, size=(h, w, 3)) * 255).astype(np.uint8)
+    wild[~valid.any(-1)] = sky
+    tiny_cap = 4
+    bits2, n2, ei2, ev2, c2 = pack_frame_stream(
+        jnp.asarray(valid), jnp.asarray(wild), tiny_cap
+    )
+    assert unpack_frame_stream(
+        np.asarray(bits2), np.asarray(n2), np.asarray(ei2),
+        np.asarray(ev2), np.asarray(c2), sky, h, w, tiny_cap,
+    ) is None
