@@ -746,7 +746,6 @@ def _delta_decode(d_small, exc_idx, exc_val):
     return np.cumsum(d)
 
 
-@jax.jit
 def pack_frame_compact(valid, image):
     """Lossless device-side frame compaction for link-limited fetches.
 
@@ -763,33 +762,16 @@ def pack_frame_compact(valid, image):
     constant sky/fog base — regardless of translucency (partial-alpha
     remainders only occur on hit pixels, ops/composite.py:64-71).
 
-    Returns (bits u32, img_n u8 [3, ceil(HW/2)] nibbles,
-    img_ei u32 [3, HW], img_ev i32 [3, HW], counts i32 [4] =
+    This is :func:`pack_frame_stream` with an UNCAPPED exception channel
+    (callers slice the exceptions to the fetched counts, so the decode
+    never overflows). Returns (bits u32, img_n u8 [3, ceil(HW/2)]
+    nibbles, img_ei u32 [3, HW], img_ev i32 [3, HW], counts i32 [4] =
     (n_px, ne_r, ne_g, ne_b)); fetch ``img_n[c, :(n_px+1)//2]`` plus the
     per-channel exception slices.
     """
-    hw = valid.shape[0] * valid.shape[1]
-    pv = valid.reshape(hw, -1).any(-1)
-    n_px = jnp.sum(pv.astype(jnp.int32))
-    img_flat = image.reshape(-1, 3).astype(jnp.int32)
-    nibbles, eis, evs, nes = [], [], [], []
-    for c in range(3):
-        x_c = _compact_scatter(pv, img_flat[:, c], jnp.int32)
-        nb, ei, ev, ne = _delta_encode4(x_c, n_px)
-        nibbles.append(nb)
-        eis.append(ei)
-        evs.append(ev)
-        nes.append(ne)
-    pad = (-hw) % 32
-    vpad = jnp.concatenate(
-        [pv, jnp.zeros((pad,), bool)]
-    ).reshape(-1, 32).astype(jnp.uint32)
-    bits = jnp.sum(
-        vpad << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
-        dtype=jnp.uint32,
+    return pack_frame_stream(
+        valid, image, valid.shape[0] * valid.shape[1]
     )
-    return (bits, jnp.stack(nibbles), jnp.stack(eis), jnp.stack(evs),
-            jnp.stack([n_px] + nes).astype(jnp.int32))
 
 
 def unpack_frame_compact(bits, channels, sky_rgb, h: int, w: int,
