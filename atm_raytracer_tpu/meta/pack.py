@@ -821,9 +821,15 @@ def pack_frame_stream(valid, image, exc_cap: int):
     pv = valid.reshape(hw, -1).any(-1)
     n_px = jnp.sum(pv.astype(jnp.int32))
     img_flat = image.reshape(-1, 3).astype(jnp.int32)
+    # ONE scatter compacts all three channels (packed 8-bit fields in an
+    # i32 lane) — scatters dominate the pack's device time, and the
+    # per-channel compact arrays then peel off elementwise
+    packed_rgb = (img_flat[:, 0] | (img_flat[:, 1] << 8)
+                  | (img_flat[:, 2] << 16))
+    x_rgb = _compact_scatter(pv, packed_rgb, jnp.int32)
     nibbles, eis, evs, nes = [], [], [], []
     for c in range(3):
-        x_c = _compact_scatter(pv, img_flat[:, c], jnp.int32)
+        x_c = (x_rgb >> (8 * c)) & 255
         nb, ei, ev, ne = _delta_encode4(x_c, n_px)
         nibbles.append(nb)
         eis.append(ei[:exc_cap])
