@@ -392,17 +392,20 @@ def _build_hitbuffer(height, width, runs, scalars, lat0, lon0, step):
         normal[i, j0:j0 + len(rec), 0, 1] = rec["ny"]
         normal[i, j0:j0 + len(rec), 0, 2] = rec["nz"]
         rgba[i, j0:j0 + len(rec), 0, 3] = rec["alpha"]
-    for i, j, tps in scalars:
-        for s, (lat, lon, dist, el, plen, nrm, kd, col) in enumerate(tps):
-            valid[i, j, s] = True
-            f["dlat"][i, j, s] = lat - lat0
-            f["dlon"][i, j, s] = lon - lon0
-            f["distance"][i, j, s] = dist
-            f["elevation"][i, j, s] = el
-            f["path_length"][i, j, s] = plen
-            normal[i, j, s] = nrm
-            kind[i, j, s] = kd
-            rgba[i, j, s] = col
+    # f64 values from a (possibly hostile) artifact may exceed f32 range;
+    # numpy's saturating cast is the behavior we want — silence its warning
+    with np.errstate(over="ignore"):
+        for i, j, tps in scalars:
+            for s, (lat, lon, dist, el, plen, nrm, kd, col) in enumerate(tps):
+                valid[i, j, s] = True
+                f["dlat"][i, j, s] = lat - lat0
+                f["dlon"][i, j, s] = lon - lon0
+                f["distance"][i, j, s] = dist
+                f["elevation"][i, j, s] = el
+                f["path_length"][i, j, s] = plen
+                normal[i, j, s] = nrm
+                kind[i, j, s] = kd
+                rgba[i, j, s] = col
     # HitBuffer contract (generators/base.py): key is the march sort
     # position with distance = key·step; reconstruct it from the stored
     # distance so pack/merge consumers see consistent keys.
