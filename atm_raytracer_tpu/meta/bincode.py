@@ -380,21 +380,21 @@ def _build_hitbuffer(height, width, runs, scalars, lat0, lon0, step):
     normal = np.zeros(shape + (3,), np.float32)
     kind = np.zeros(shape, np.int32)
     rgba = np.zeros(shape + (4,), np.float32)
-    for i, j0, rec in runs:
-        sl = (i, slice(j0, j0 + len(rec)), 0)
-        valid[sl] = True
-        f["dlat"][sl] = rec["lat"] - lat0
-        f["dlon"][sl] = rec["lon"] - lon0
-        f["distance"][sl] = rec["dist"]
-        f["elevation"][sl] = rec["el"]
-        f["path_length"][sl] = rec["plen"]
-        normal[i, j0:j0 + len(rec), 0, 0] = rec["nx"]
-        normal[i, j0:j0 + len(rec), 0, 1] = rec["ny"]
-        normal[i, j0:j0 + len(rec), 0, 2] = rec["nz"]
-        rgba[i, j0:j0 + len(rec), 0, 3] = rec["alpha"]
     # f64 values from a (possibly hostile) artifact may exceed f32 range;
     # numpy's saturating cast is the behavior we want — silence its warning
     with np.errstate(over="ignore"):
+        for i, j0, rec in runs:
+            sl = (i, slice(j0, j0 + len(rec)), 0)
+            valid[sl] = True
+            f["dlat"][sl] = rec["lat"] - lat0
+            f["dlon"][sl] = rec["lon"] - lon0
+            f["distance"][sl] = rec["dist"]
+            f["elevation"][sl] = rec["el"]
+            f["path_length"][sl] = rec["plen"]
+            normal[i, j0:j0 + len(rec), 0, 0] = rec["nx"]
+            normal[i, j0:j0 + len(rec), 0, 1] = rec["ny"]
+            normal[i, j0:j0 + len(rec), 0, 2] = rec["nz"]
+            rgba[i, j0:j0 + len(rec), 0, 3] = rec["alpha"]
         for i, j, tps in scalars:
             for s, (lat, lon, dist, el, plen, nrm, kd, col) in enumerate(tps):
                 valid[i, j, s] = True
